@@ -1,0 +1,130 @@
+"""Shared pieces of the Pallas forward/backward tile rasterizer kernels.
+
+Kernel-level design (TPU-first; contrast with the reference's `splatDraw`
+CUDA kernel, `splat.jl:195-269`, which is one thread per pixel and a scalar
+walk of the gaussian list):
+
+* The pixel tile is a flat (PX, 1) vector (PX = tile_size^2; 32x32 -> 1024 =
+  a whole (8,128) f32 register file column), and gaussians stream through in
+  depth-ordered chunks of `chunk_size` (=128, one MXU edge).
+
+* The quadratic form q(px, g) = d^T conic d is evaluated as ONE MXU matmul:
+  q = B @ Q, where B (PX, 8) is a per-tile pixel polynomial basis
+  [x^2, y^2, xy, x, y, 1, 0, 0] in *tile-local* coordinates (keeps f32
+  conditioning at 4K), and Q (8, CS) packs per-gaussian quadratic
+  coefficients.
+
+* Front-to-back alpha compositing is done in log-transmittance space:
+  L = log1p(-alpha); within-chunk inclusive prefix sums of L are again ONE
+  MXU matmul against a constant triangular matrix, so the classic serial
+  per-splat transmittance recurrence becomes parallel MXU work.
+
+* Color (and any other linear channel: alpha-weight sum, depth) accumulates
+  as W @ chunk^T — a third matmul. The VPU only does the cheap elementwise
+  glue; the MXU carries the O(PX * CS) work.
+
+* Chunk windows are aligned down to chunk_size so every HBM DMA is
+  tile-aligned; entries outside the tile's [start, end) segment are masked by
+  global index. Segments are contiguous (they partition the sorted pair
+  list), which the backward kernel exploits for race-free output writes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Payload channel indices (must match ops/projection.py).
+CH_MX, CH_MY, CH_CA, CH_CB, CH_CC, CH_OP, CH_R, CH_G, CH_B = range(9)
+CH_ONE = 9     # constant 1.0 -> accumulates sum of weights (alpha image)
+CH_DEPTH = 10  # camera depth -> accumulates expected depth image
+NCH = 16
+
+# Rows of the fused per-tile output block (fwd kernel).
+OUT_R, OUT_G, OUT_B, OUT_LOGT, OUT_WSUM, OUT_DEPTH = range(6)
+NOUT = 8
+
+
+def pixel_basis(tile_size: int) -> jax.Array:
+    """(PX, 8) polynomial basis over tile-local pixel coordinates."""
+    px = tile_size * tile_size
+    idx = jax.lax.broadcasted_iota(jnp.int32, (px, 1), 0)
+    x = (idx % tile_size).astype(jnp.float32)
+    y = (idx // tile_size).astype(jnp.float32)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
+
+
+def tri_incl(cs: int) -> jax.Array:
+    """(CS, CS) upper-triangular (incl. diagonal) ones: L @ tri = inclusive
+    prefix sum of L along the gaussian axis."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def tri_suffix_strict(cs: int) -> jax.Array:
+    """(CS, CS) with M[g, h] = 1 where h < g: dSe @ M = strict suffix sum
+    (each entry h receives sum over later entries g > h)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    return (c < r).astype(jnp.float32)
+
+
+def quad_coeff_matrix(chunk: jax.Array, ox: jax.Array, oy: jax.Array) -> tuple:
+    """Per-gaussian quadratic coefficients Q (8, CS) s.t. basis @ Q = q, plus
+    the tile-local means and conic rows used again by the backward pass.
+
+    chunk: (NCH, CS) payload block; ox/oy: () tile origin in global pixels.
+    """
+    cs = chunk.shape[1]
+    mx = chunk[CH_MX : CH_MX + 1, :] - ox
+    my = chunk[CH_MY : CH_MY + 1, :] - oy
+    a = chunk[CH_CA : CH_CA + 1, :]
+    b = chunk[CH_CB : CH_CB + 1, :]
+    c = chunk[CH_CC : CH_CC + 1, :]
+    zero = jnp.zeros((1, cs), jnp.float32)
+    q_rows = jnp.concatenate(
+        [
+            a,
+            c,
+            2.0 * b,
+            -2.0 * a * mx - 2.0 * b * my,
+            -2.0 * c * my - 2.0 * b * mx,
+            a * mx * mx + 2.0 * b * mx * my + c * my * my,
+            zero,
+            zero,
+        ],
+        axis=0,
+    )
+    return q_rows, mx, my, a, b, c
+
+
+def chunk_alpha(
+    basis: jax.Array,      # (PX, 8)
+    chunk: jax.Array,      # (NCH, CS)
+    ox: jax.Array,
+    oy: jax.Array,
+    gidx0: jax.Array,      # () global index of lane 0 of this chunk
+    start: jax.Array,      # () segment start (global)
+    end: jax.Array,        # () segment end (global)
+    alpha_min: float,
+    alpha_max: float,
+):
+    """Alpha matrix (PX, CS) plus the clamp gate used by backward."""
+    cs = chunk.shape[1]
+    q_rows, mx, my, a, b, c = quad_coeff_matrix(chunk, ox, oy)
+    q = jnp.dot(basis, q_rows, preferred_element_type=jnp.float32)  # (PX, CS)
+    op = chunk[CH_OP : CH_OP + 1, :]
+    alpha_raw = op * jnp.exp(-0.5 * q)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + gidx0
+    in_seg = (lane >= start) & (lane < end)
+    live = in_seg & (alpha_raw >= alpha_min)
+    alpha = jnp.where(live, jnp.minimum(alpha_raw, alpha_max), 0.0)
+    unclamped = live & (alpha_raw < alpha_max)
+    return alpha, unclamped, (mx, my, a, b, c, op)

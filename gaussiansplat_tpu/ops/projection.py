@@ -1,0 +1,171 @@
+"""Per-gaussian screen-space preprocessing, fully vectorized over N.
+
+Replaces the reference's four serialized 32-thread CUDA kernels
+(`frustumCulling` projection.jl:39-100, `tValues` projection.jl:103-155,
+`computeInvCov2d` cov2d.jl:30-45, `computeBB` boundingbox.jl:4-36) with one
+fused batch of dense array ops that XLA tiles onto the VPU. Everything is
+differentiable; the binning stage consumes only stop-gradient integer
+outputs.
+
+Math follows standard 3DGS/EWA (gsplat supplement), NOT the reference's
+deviations: the 2D covariance uses the camera rotation W in J·W·Sigma·W^T·J^T
+(the reference multiplies by the gaussian's own rotation R at
+projection.jl:144-151 — a bug we do not replicate), the perspective Jacobian
+clamps x/z, y/z to 1.3*tan(fov/2) for stability, and opacity/scales are
+activated (sigmoid/exp) before use (reference does this in-kernel at
+splat.jl:247 / projection.jl:133-135).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import RasterConfig
+from .camera import Camera
+from .quaternion import build_covariance_3d
+from .sh import eval_sh
+
+
+@struct.dataclass
+class Projected:
+    """Screen-space gaussians for one camera. All fields (N, ...) float32
+    except `valid`/`radius`/tile fields which are integer/bool metadata."""
+
+    mean2d: jax.Array    # (N, 2) pixel-space center
+    depth: jax.Array     # (N,)   camera-space z
+    conic: jax.Array     # (N, 3) upper triangle (a, b, c) of inv(cov2d)
+    rgb: jax.Array       # (N, 3) view-dependent color (SH evaluated)
+    opacity: jax.Array   # (N,)   activated opacity in [0, 1]
+    radius: jax.Array    # (N,)   int32 bounding radius in pixels (0 = culled)
+    valid: jax.Array     # (N,)   bool — visible and alive
+
+
+def project_gaussians(
+    means: jax.Array,          # (N, 3)
+    quats: jax.Array,          # (N, 4) wxyz (unnormalized ok)
+    log_scales: jax.Array,     # (N, 3)
+    logit_opacities: jax.Array,  # (N,)
+    sh: jax.Array,             # (N, K, 3)
+    camera: Camera,
+    cfg: RasterConfig,
+    sh_degree: int = 3,
+    alive: Optional[jax.Array] = None,   # (N,) bool
+) -> Projected:
+    f32 = jnp.float32
+    means = means.astype(f32)
+
+    # --- view transform (reference: frustumCulling, projection.jl:56-77) ---
+    cam_pts = means @ camera.R.T + camera.t  # (N, 3)
+    tx, ty, tz = cam_pts[:, 0], cam_pts[:, 1], cam_pts[:, 2]
+
+    in_front = tz > cfg.near
+    tz_safe = jnp.where(in_front, tz, 1.0)
+
+    u = camera.fx * tx / tz_safe + camera.cx
+    v = camera.fy * ty / tz_safe + camera.cy
+    mean2d = jnp.stack([u, v], axis=-1)
+
+    # --- 3D covariance (reference: tValues, projection.jl:126-142) ---
+    scales = jnp.exp(log_scales.astype(f32))
+    cov3d = build_covariance_3d(quats.astype(f32), scales)  # (N, 3, 3)
+
+    # --- EWA Jacobian with frustum clamping (gsplat-standard) ---
+    tan_fovx, tan_fovy = camera.tan_half_fov()
+    lim_x = 1.3 * tan_fovx
+    lim_y = 1.3 * tan_fovy
+    txz = jnp.clip(tx / tz_safe, -lim_x, lim_x)
+    tyz = jnp.clip(ty / tz_safe, -lim_y, lim_y)
+    inv_z = 1.0 / tz_safe
+    zeros = jnp.zeros_like(tz)
+    # J: (N, 2, 3)
+    J = jnp.stack(
+        [
+            jnp.stack([camera.fx * inv_z, zeros, -camera.fx * txz * inv_z], axis=-1),
+            jnp.stack([zeros, camera.fy * inv_z, -camera.fy * tyz * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )
+    # T = J @ W (camera rotation) : (N, 2, 3). NOT J @ R_gaussian — see module
+    # docstring re. the reference's projection.jl:144 deviation.
+    T = jnp.einsum("nij,jk->nik", J, camera.R)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", T, cov3d, T)  # (N, 2, 2)
+
+    a = cov2d[:, 0, 0] + cfg.cov2d_dilation
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + cfg.cov2d_dilation
+
+    # --- inverse + bounding radius (cov2d.jl:30-45, boundingbox.jl:4-36) ---
+    det = a * c - b * b
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    # --- color + opacity ---
+    view_dir = means - camera.position[None, :]
+    rgb = eval_sh(sh.astype(f32), view_dir, sh_degree)
+    opacity = jax.nn.sigmoid(logit_opacities.astype(f32))
+
+    valid = in_front & det_ok & (radius_f > 0.0)
+    if alive is not None:
+        valid = valid & alive
+    # Cull gaussians whose bounding box misses the image entirely.
+    w, h = camera.width, camera.height
+    r = radius_f
+    on_screen = (
+        (u + r > 0.0) & (u - r < w) & (v + r > 0.0) & (v - r < h)
+    )
+    valid = valid & on_screen
+
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    return Projected(
+        mean2d=mean2d,
+        depth=tz,
+        conic=conic,
+        rgb=rgb,
+        opacity=opacity,
+        radius=jax.lax.stop_gradient(radius),
+        valid=jax.lax.stop_gradient(valid),
+    )
+
+
+# Payload channel layout consumed by the tile rasterizer. Padded to 16
+# channels so (P, 16) gathers stay lane-aligned after transposition to
+# (16, P) for the Pallas kernel.
+PAYLOAD_MX = 0
+PAYLOAD_MY = 1
+PAYLOAD_CA = 2   # conic a
+PAYLOAD_CB = 3   # conic b
+PAYLOAD_CC = 4   # conic c
+PAYLOAD_OP = 5
+PAYLOAD_R = 6
+PAYLOAD_G = 7
+PAYLOAD_B = 8
+PAYLOAD_DIM = 16
+
+
+def make_payload(proj: Projected) -> jax.Array:
+    """Pack the differentiable per-gaussian raster inputs into (N, 16)."""
+    n = proj.mean2d.shape[0]
+    cols = [
+        proj.mean2d[:, 0],
+        proj.mean2d[:, 1],
+        proj.conic[:, 0],
+        proj.conic[:, 1],
+        proj.conic[:, 2],
+        proj.opacity,
+        proj.rgb[:, 0],
+        proj.rgb[:, 1],
+        proj.rgb[:, 2],
+    ]
+    pad = [jnp.zeros((n,), jnp.float32)] * (PAYLOAD_DIM - len(cols))
+    return jnp.stack(cols + pad, axis=-1)
