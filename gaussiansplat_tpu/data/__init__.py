@@ -1,0 +1,16 @@
+from .cameras import load_cameras_json, save_cameras_json
+from .datasets import Scene, colmap_scene, nerf_synthetic_scene, synthetic_scene
+from .ply import load_gaussian_ply, read_ply, save_gaussian_ply, write_ply
+
+__all__ = [
+    "Scene",
+    "colmap_scene",
+    "load_cameras_json",
+    "load_gaussian_ply",
+    "nerf_synthetic_scene",
+    "read_ply",
+    "save_cameras_json",
+    "save_gaussian_ply",
+    "synthetic_scene",
+    "write_ply",
+]

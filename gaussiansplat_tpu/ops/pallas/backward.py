@@ -1,0 +1,285 @@
+"""Fused Pallas TPU backward tile rasterizer.
+
+Replaces the reference's atomic-scatter backward (`splatGrads`,
+`splat.jl:271-396` — which only exists for the 2D-splat variant, recovers
+transmittance by dividing by (1 - alpha) at `splat.jl:389`, and accumulates
+into global gradient buffers with `CUDA.@atomic`, making it nondeterministic)
+with a deterministic, atomics-free design (SURVEY §7 step 5):
+
+* Each tile program walks its segment's chunks in REVERSE, rewinding the
+  transmittance exactly in log space (logT_start = logT_end - sum L; no
+  divide-by-(1-alpha) instability) starting from the forward pass's saved
+  final logT and per-tile stop-chunk counter.
+
+* All per-gaussian gradient reductions over the pixel tile are MXU matmuls:
+  the within-chunk suffix sums of d(log T) use a strictly-triangular ones
+  matrix, and the conic/mean gradients come from a single moment matrix
+  basis^T @ dq (8, CS) combined with per-gaussian scalars — the moment trick
+  turns Sum_px dq * (x - mx)^k into linear combinations of polynomial
+  moments.
+
+* Every sorted pair list entry belongs to exactly ONE tile (segments
+  partition the sorted array), so per-entry gradients are written to
+  disjoint regions of the (NCH, Ppad) output with no atomics. Because chunk
+  windows are aligned, the first chunk of a tile can overlap the previous
+  tile's last chunk; the TPU grid is sequential, so that program simply
+  read-modify-writes the boundary block (keeping lanes < start) — ordering
+  is guaranteed, determinism preserved. Per-gaussian accumulation across
+  tiles then happens outside the kernel as a segment-sum over gaussian ids —
+  also deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RasterConfig
+from ..binning import tile_grid
+from .common import (
+    CH_B,
+    CH_DEPTH,
+    CH_G,
+    CH_ONE,
+    CH_R,
+    NCH,
+    NOUT,
+    OUT_LOGT,
+    chunk_alpha,
+    pixel_basis,
+    tri_incl,
+    tri_suffix_strict,
+)
+
+
+def _bwd_kernel(
+    # scalar prefetch
+    tile_starts_ref,   # (T+1,) int32 SMEM
+    stops_ref,         # (T,) int32 SMEM — chunks processed by forward
+    # inputs
+    payload_ref,       # (NCH, Ppad) f32 HBM
+    cot_ref,           # (1, NOUT, PX) VMEM: rows dR,dG,dB, dlogT, dWsum, dDepth
+    fwd_ref,           # (1, NOUT, PX) VMEM: forward outputs (row OUT_LOGT used)
+    # output
+    dpayload_ref,      # (NCH, Ppad) f32 HBM
+    # scratch
+    chunk_buf,         # (2, NCH, CS) VMEM
+    out_buf,           # (NCH, CS) VMEM
+    in_sems,           # (2,) DMA sems
+    out_sem,           # (1,) DMA sem
+    *,
+    tile_size: int,
+    chunk_size: int,
+    tiles_x: int,
+    alpha_min: float,
+    alpha_max: float,
+):
+    t = pl.program_id(0)
+    cs = chunk_size
+    px = tile_size * tile_size
+
+    start = tile_starts_ref[t]
+    end = tile_starts_ref[t + 1]
+    base = (start // cs) * cs
+    n_chunks = (end - base + cs - 1) // cs
+    stop = stops_ref[t]
+
+    ox = ((t % tiles_x) * tile_size).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile_size).astype(jnp.float32)
+
+    basis = pixel_basis(tile_size)       # (PX, 8)
+    tri = tri_incl(cs)
+    tri_suf = tri_suffix_strict(cs)
+
+    cot = cot_ref[0].T                   # (PX, NOUT)
+    # Cotangent w.r.t. the acc channels (PX, NCH): RGB at 6..8, weight-sum at
+    # 9, depth at 10 (channel layout of ops/projection.make_payload).
+    dacc = jnp.concatenate(
+        [
+            jnp.zeros((px, CH_R), jnp.float32),
+            cot[:, 0:3],
+            cot[:, 4:5],
+            cot[:, 5:6],
+            jnp.zeros((px, NCH - CH_DEPTH - 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    def chunk_dma(slot, ci):
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(base + ci * cs, cs)],
+            chunk_buf.at[slot],
+            in_sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        chunk_dma((n_chunks - 1) % 2, n_chunks - 1).start()
+
+    def body(j, carry):
+        log_t_end, dlog_t_end = carry
+        ci = n_chunks - 1 - j
+
+        @pl.when(ci - 1 >= 0)
+        def _():
+            chunk_dma((ci - 1) % 2, ci - 1).start()
+
+        chunk_dma(ci % 2, ci).wait()
+        chunk = chunk_buf[ci % 2]        # (NCH, CS)
+        active = ci < stop               # forward actually composited this chunk
+
+        alpha, unclamped, (mx, my, a, b, c, op) = chunk_alpha(
+            basis, chunk, ox, oy, base + ci * cs, start, end,
+            alpha_min, alpha_max,
+        )
+        ell = jnp.log1p(-alpha)
+        s_incl = jnp.dot(ell, tri, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        s_excl = s_incl - ell
+        log_t_start = log_t_end - s_incl[:, cs - 1 : cs]
+        t_in = jnp.exp(s_excl + log_t_start)
+        w = alpha * t_in
+
+        dw = jax.lax.dot_general(
+            dacc, chunk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                # (PX, CS)
+        d_se = dw * w
+        d_ell = jnp.dot(d_se, tri_suf, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        d_ell = d_ell + dlog_t_end
+        dalpha = dw * t_in - d_ell / (1.0 - alpha)
+        dalpha = jnp.where(unclamped, dalpha, 0.0)
+        dq = -0.5 * dalpha * alpha
+
+        # Moment matrix: rows sum_px dq * [x^2, y^2, xy, x, y, 1, _, _].
+        mom = jax.lax.dot_general(
+            basis, dq,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                # (8, CS)
+        bxx = mom[0:1]; byy = mom[1:2]; bxy = mom[2:3]
+        bx = mom[3:4]; by = mom[4:5]; b1 = mom[5:6]
+        da = bxx - 2.0 * mx * bx + mx * mx * b1
+        dc = byy - 2.0 * my * by + my * my * b1
+        db = 2.0 * (bxy - mx * by - my * bx + mx * my * b1)
+        dmx = -2.0 * a * (bx - mx * b1) - 2.0 * b * (by - my * b1)
+        dmy = -2.0 * c * (by - my * b1) - 2.0 * b * (bx - mx * b1)
+        dop = -2.0 * b1 / jnp.maximum(op, 1e-20)
+
+        # Direct (linear) channel gradients: d payload_c = sum_px dacc_c * w.
+        ddirect = jax.lax.dot_general(
+            dacc, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                # (NCH, CS)
+        dgeom = jnp.concatenate(
+            [dmx, dmy, da, db, dc, dop,
+             jnp.zeros((NCH - 6, cs), jnp.float32)],
+            axis=0,
+        )
+        # Geometry channels come only through alpha; linear channels only
+        # through the accumulator (their ddirect rows).
+        row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+        dchunk = jnp.where(row < 6, dgeom, ddirect)
+        dchunk = jnp.where(active, dchunk, 0.0)
+
+        # Boundary chunk: preserve the previous tile's lanes (the TPU grid is
+        # sequential, so its write has completed).
+        @pl.when(ci == 0)
+        def _():
+            rmw = pltpu.make_async_copy(
+                dpayload_ref.at[:, pl.ds(base, cs)],
+                out_buf, out_sem.at[0],
+            )
+            rmw.start()
+            rmw.wait()
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + base
+            out_buf[...] = jnp.where(lane < start, out_buf[...], dchunk)
+
+        @pl.when(ci > 0)
+        def _():
+            out_buf[...] = dchunk
+
+        wr = pltpu.make_async_copy(
+            out_buf,
+            dpayload_ref.at[:, pl.ds(base + ci * cs, cs)],
+            out_sem.at[0],
+        )
+        wr.start()
+        wr.wait()
+
+        new_log_t = jnp.where(active, log_t_start, log_t_end)
+        new_dlog_t = jnp.where(
+            active,
+            dlog_t_end + jnp.sum(d_se, axis=1, keepdims=True),
+            dlog_t_end,
+        )
+        return new_log_t, new_dlog_t
+
+    log_t_final = fwd_ref[0, OUT_LOGT : OUT_LOGT + 1, :].T     # (PX, 1)
+    dlog_t_init = cot[:, 3:4]
+    jax.lax.fori_loop(0, n_chunks, body, (log_t_final, dlog_t_init))
+
+
+def rasterize_backward(
+    payload_t: jax.Array,     # (NCH, Ppad)
+    tile_starts: jax.Array,   # (T+1,)
+    stops: jax.Array,         # (T,) int32
+    cot_tiles: jax.Array,     # (T, NOUT, PX)
+    fwd_tiles: jax.Array,     # (T, NOUT, PX)
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns dpayload_t (NCH, Ppad); entries never touched by any tile are
+    garbage and must be masked by the caller (entry index < num_pairs)."""
+    tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
+    num_tiles = tiles_x * tiles_y
+    px = cfg.tile_size * cfg.tile_size
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        tile_size=cfg.tile_size,
+        chunk_size=cfg.chunk_size,
+        tiles_x=tiles_x,
+        alpha_min=cfg.alpha_min,
+        alpha_max=cfg.alpha_max,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, NOUT, px), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NOUT, px), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NCH, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((NCH, cfg.chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+
+    dpayload_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(payload_t.shape, jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts, stops, payload_t, cot_tiles, fwd_tiles)
+    return dpayload_t

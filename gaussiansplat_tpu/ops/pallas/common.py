@@ -45,7 +45,7 @@ CH_DEPTH = 10  # camera depth -> accumulates expected depth image
 NCH = 16
 
 # Rows of the fused per-tile output block (fwd kernel).
-OUT_R, OUT_G, OUT_B, OUT_LOGT, OUT_WSUM, OUT_DEPTH = range(6)
+OUT_R, OUT_G, OUT_B, OUT_LOGT, OUT_WSUM, OUT_DEPTH, OUT_STOP = range(7)
 NOUT = 8
 
 
@@ -119,7 +119,8 @@ def chunk_alpha(
     """Alpha matrix (PX, CS) plus the clamp gate used by backward."""
     cs = chunk.shape[1]
     q_rows, mx, my, a, b, c = quad_coeff_matrix(chunk, ox, oy)
-    q = jnp.dot(basis, q_rows, preferred_element_type=jnp.float32)  # (PX, CS)
+    q = jnp.dot(basis, q_rows, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (PX, CS)
     op = chunk[CH_OP : CH_OP + 1, :]
     alpha_raw = op * jnp.exp(-0.5 * q)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + gidx0

@@ -1,0 +1,200 @@
+"""Fused Pallas TPU forward tile rasterizer.
+
+One grid program per pixel tile (the TPU grid is a sequential loop on the
+TensorCore, so programs pipeline; there is no CUDA-style block concurrency to
+manage). Each program:
+
+  1. reads its [start, end) segment bounds from scalar-prefetched
+     `tile_starts` (SMEM),
+  2. streams the segment's payload in chunk_size-aligned (NCH, CS) blocks
+     from HBM into a double-buffered VMEM scratch (async DMA overlapped with
+     compute — the Pallas analogue of the reference's shared-memory staging
+     at `splat.jl:207-213`),
+  3. composites with the matmul formulation described in common.py, carrying
+     (acc (PX, NCH), logT (PX, 1)) through a `while_loop` that early-exits
+     once every pixel's transmittance is below `trans_eps` (the reference has
+     no early termination — `splat.jl:224-261` walks the entire list),
+  4. writes an (NOUT, PX) output block: RGB accumulators, log-transmittance,
+     weight-sum (alpha image) and expected-depth rows, plus the number of
+     chunks processed (consumed by the backward kernel's reverse sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RasterConfig
+from ..binning import tile_grid
+from .common import (
+    CH_B,
+    CH_DEPTH,
+    CH_G,
+    CH_ONE,
+    CH_R,
+    NCH,
+    NOUT,
+    OUT_LOGT,
+    chunk_alpha,
+    pixel_basis,
+    tri_incl,
+)
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    tile_starts_ref,   # (T+1,) int32 in SMEM
+    # inputs
+    payload_ref,       # (NCH, Ppad) f32 in HBM/ANY
+    # outputs
+    out_ref,           # (NOUT, PX) f32 VMEM block for this tile
+    # scratch
+    chunk_buf,         # (2, NCH, CS) f32 VMEM
+    sems,              # (2,) DMA semaphores
+    *,
+    tile_size: int,
+    chunk_size: int,
+    tiles_x: int,
+    alpha_min: float,
+    alpha_max: float,
+    log_eps: float,
+):
+    t = pl.program_id(0)
+    cs = chunk_size
+    px = tile_size * tile_size
+
+    start = tile_starts_ref[t]
+    end = tile_starts_ref[t + 1]
+    base = (start // cs) * cs          # aligned window start
+    n_chunks = (end - base + cs - 1) // cs
+
+    ox = ((t % tiles_x) * tile_size).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile_size).astype(jnp.float32)
+
+    basis = pixel_basis(tile_size)     # (PX, 8)
+    tri = tri_incl(cs)                 # (CS, CS)
+
+    def chunk_dma(slot, ci):
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(base + ci * cs, cs)],
+            chunk_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def cond(carry):
+        ci, acc, log_t, alive = carry
+        return (ci < n_chunks) & alive
+
+    def body(carry):
+        ci, acc, log_t, alive = carry
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            chunk_dma((ci + 1) % 2, ci + 1).start()
+
+        chunk_dma(ci % 2, ci).wait()
+        chunk = chunk_buf[ci % 2]      # (NCH, CS)
+
+        alpha, _, _ = chunk_alpha(
+            basis, chunk, ox, oy, base + ci * cs, start, end,
+            alpha_min, alpha_max,
+        )
+        ell = jnp.log1p(-alpha)                                   # (PX, CS)
+        s_incl = jnp.dot(ell, tri, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        s_excl = s_incl - ell
+        t_in = jnp.exp(s_excl + log_t)                            # (PX, CS)
+        w = alpha * t_in
+        # acc_c += sum_g w * payload[c, g] for every channel c at once.
+        acc = acc + jax.lax.dot_general(
+            w, chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        log_t = log_t + s_incl[:, cs - 1 : cs]
+        alive = jnp.max(log_t) > log_eps
+        return ci + 1, acc, log_t, alive
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((px, NCH), jnp.float32),
+        jnp.zeros((px, 1), jnp.float32),
+        jnp.bool_(True),
+    )
+    ci, acc, log_t, _ = jax.lax.while_loop(cond, body, init)
+
+    # The stop-chunk counter rides a spare row of the output block (Mosaic
+    # rejects tiny scalar output blocks); exact as f32 for any real count.
+    stop_row = jnp.full((px, 1), ci, jnp.float32)
+    out8 = jnp.concatenate(
+        [
+            acc[:, CH_R : CH_R + 1],
+            acc[:, CH_G : CH_G + 1],
+            acc[:, CH_B : CH_B + 1],
+            log_t,
+            acc[:, CH_ONE : CH_ONE + 1],
+            acc[:, CH_DEPTH : CH_DEPTH + 1],
+            stop_row,
+            jnp.zeros((px, NOUT - 7), jnp.float32),
+        ],
+        axis=1,
+    )                                   # (PX, NOUT)
+    out_ref[...] = out8.T               # (NOUT, PX)
+
+
+def rasterize_forward(
+    payload_t: jax.Array,      # (NCH, Ppad) f32, sorted by (tile, depth)
+    tile_starts: jax.Array,    # (T+1,) int32
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+    interpret: bool = False,
+):
+    """Returns out_tiles (T, NOUT, PX); row OUT_STOP holds the per-tile\n    stop-chunk count (broadcast across the pixel row, exact in f32)."""
+    import math
+
+    tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
+    num_tiles = tiles_x * tiles_y
+    px = cfg.tile_size * cfg.tile_size
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        tile_size=cfg.tile_size,
+        chunk_size=cfg.chunk_size,
+        tiles_x=tiles_x,
+        alpha_min=cfg.alpha_min,
+        alpha_max=cfg.alpha_max,
+        log_eps=math.log(cfg.trans_eps) if cfg.trans_eps > 0 else -1e30,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, NOUT, px), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NCH, cfg.chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def squeeze_kernel(ts_ref, payload_ref, out_ref, chunk_buf, sems):
+        kernel(ts_ref, payload_ref, out_ref.at[0], chunk_buf, sems)
+
+    out_tiles = pl.pallas_call(
+        squeeze_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, NOUT, px), jnp.float32),
+        interpret=interpret,
+    )(tile_starts, payload_t)
+    return out_tiles

@@ -1,0 +1,118 @@
+"""custom_vjp wrapper around the fused Pallas forward/backward kernels.
+
+Presents the same interface as ops/tile_raster.rasterize_tiles_xla. Only the
+rasterization itself is hand-differentiated; everything upstream (projection,
+SH, activations, the sorted gather) is ordinary JAX autodiff, so the VJP
+boundary is exactly the (P, NCH) sorted payload — per SURVEY §7 step 5, wired
+as `jax.custom_vjp` around the Pallas forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...config import RasterConfig
+from ..binning import tile_grid
+from ..projection import PAYLOAD_DIM
+from ..tile_raster import RasterOut, image_to_tiles, tiles_to_image
+from .backward import rasterize_backward
+from .common import NOUT, OUT_LOGT, OUT_STOP
+from .forward import rasterize_forward
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool):
+    ts = cfg.tile_size
+    cs = cfg.chunk_size
+
+    @jax.custom_vjp
+    def raster(sorted_payload, tile_starts, background):
+        img, trans, *_ = _fwd(sorted_payload, tile_starts, background)
+        return img, trans
+
+    def _fwd(sorted_payload, tile_starts, background):
+        p = sorted_payload.shape[0]
+        payload_t = jnp.concatenate(
+            [sorted_payload.T, jnp.zeros((PAYLOAD_DIM, cs), jnp.float32)],
+            axis=1,
+        )  # (NCH, P + CS): aligned chunk windows may poke past the last entry
+        out_tiles = rasterize_forward(
+            payload_t, tile_starts, width, height, cfg, interpret=interpret
+        )
+        log_t = out_tiles[:, OUT_LOGT, :]
+        trans_tiles = jnp.exp(log_t)
+        rgb_tiles = jnp.transpose(out_tiles[:, 0:3, :], (0, 2, 1))
+        img_tiles = rgb_tiles + trans_tiles[..., None] * background[None, None, :]
+        image = tiles_to_image(img_tiles, width, height, ts)
+        trans = tiles_to_image(trans_tiles, width, height, ts)
+        return image, trans, payload_t, out_tiles
+
+    def raster_fwd(sorted_payload, tile_starts, background):
+        image, trans, payload_t, out_tiles = _fwd(
+            sorted_payload, tile_starts, background
+        )
+        res = (payload_t, tile_starts, background, out_tiles)
+        return (image, trans), res
+
+    def raster_bwd(res, cots):
+        payload_t, tile_starts, background, out_tiles = res
+        stops = out_tiles[:, OUT_STOP, 0].astype(jnp.int32)
+        dimg, dtrans = cots
+        p = payload_t.shape[1] - cs
+
+        dimg_tiles = image_to_tiles(dimg, ts)          # (T, PX, 3)
+        dtrans_tiles = image_to_tiles(dtrans, ts)      # (T, PX)
+        log_t = out_tiles[:, OUT_LOGT, :]
+        trans_tiles = jnp.exp(log_t)
+
+        # d/d logT of (trans output + background compositing).
+        dtrans_total = dtrans_tiles + jnp.einsum(
+            "tpc,c->tp", dimg_tiles, background
+        )
+        dlog_t = dtrans_total * trans_tiles
+
+        px = ts * ts
+        num_tiles = dimg_tiles.shape[0]
+        cot_tiles = jnp.concatenate(
+            [
+                jnp.transpose(dimg_tiles, (0, 2, 1)),  # rows dR, dG, dB
+                dlog_t[:, None, :],
+                jnp.zeros((num_tiles, NOUT - 4, px), jnp.float32),
+            ],
+            axis=1,
+        )
+
+        dpayload_t = rasterize_backward(
+            payload_t, tile_starts, stops, cot_tiles, out_tiles,
+            width, height, cfg, interpret=interpret,
+        )
+        dsorted = dpayload_t[:, :p].T
+        # Entries past the last valid pair were never written: mask garbage.
+        valid = jnp.arange(p, dtype=jnp.int32) < tile_starts[-1]
+        dsorted = jnp.where(valid[:, None], dsorted, 0.0)
+
+        dbg = jnp.einsum("tpc,tp->c", dimg_tiles, trans_tiles)
+        d_starts = jnp.zeros_like(tile_starts)  # integer: no real cotangent
+        return dsorted, d_starts, dbg
+
+    raster.defvjp(raster_fwd, raster_bwd)
+    return raster
+
+
+def rasterize_tiles_pallas(
+    sorted_payload: jax.Array,   # (P, NCH) in (tile, depth) order
+    tile_starts: jax.Array,      # (T+1,) int32
+    background: jax.Array,       # (3,)
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+    interpret: bool = False,
+) -> RasterOut:
+    f = _make_rasterizer(width, height, cfg, interpret)
+    image, trans = f(sorted_payload, tile_starts, background)
+    seg_len = tile_starts[1:] - tile_starts[:-1]
+    needed = (jnp.max(seg_len) + cfg.chunk_size - 1) // cfg.chunk_size
+    return RasterOut(image=image, transmittance=trans, max_chunks_needed=needed)

@@ -91,8 +91,10 @@ def project_gaussians(
     )
     # T = J @ W (camera rotation) : (N, 2, 3). NOT J @ R_gaussian — see module
     # docstring re. the reference's projection.jl:144 deviation.
-    T = jnp.einsum("nij,jk->nik", J, camera.R)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", T, cov3d, T)  # (N, 2, 2)
+    T = jnp.einsum("nij,jk->nik", J, camera.R,
+                   precision=jax.lax.Precision.HIGHEST)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", T, cov3d, T,
+                       precision=jax.lax.Precision.HIGHEST)  # (N, 2, 2)
 
     a = cov2d[:, 0, 0] + cfg.cov2d_dilation
     b = cov2d[:, 0, 1]
@@ -150,11 +152,17 @@ PAYLOAD_OP = 5
 PAYLOAD_R = 6
 PAYLOAD_G = 7
 PAYLOAD_B = 8
+PAYLOAD_ONE = 9    # constant 1: rasterizer accumulates the alpha-weight image
+PAYLOAD_DEPTH = 10  # camera depth: rasterizer accumulates the depth image
 PAYLOAD_DIM = 16
 
 
 def make_payload(proj: Projected) -> jax.Array:
-    """Pack the differentiable per-gaussian raster inputs into (N, 16)."""
+    """Pack the differentiable per-gaussian raster inputs into (N, 16).
+
+    Channels 9/10 ride the rasterizer's linear accumulator for free (one
+    matmul accumulates every channel): alpha-weight sums and expected depth.
+    """
     n = proj.mean2d.shape[0]
     cols = [
         proj.mean2d[:, 0],
@@ -166,6 +174,8 @@ def make_payload(proj: Projected) -> jax.Array:
         proj.rgb[:, 0],
         proj.rgb[:, 1],
         proj.rgb[:, 2],
+        jnp.ones((n,), jnp.float32),
+        proj.depth,
     ]
     pad = [jnp.zeros((n,), jnp.float32)] * (PAYLOAD_DIM - len(cols))
     return jnp.stack(cols + pad, axis=-1)

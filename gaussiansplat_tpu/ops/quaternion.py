@@ -53,7 +53,8 @@ def build_covariance_3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     """
     R = quat_to_rotmat(normalize(quats))
     M = R * scales[..., None, :]  # columns scaled: M = R @ diag(s)
-    return jnp.einsum("...ij,...kj->...ik", M, M)
+    return jnp.einsum("...ij,...kj->...ik", M, M,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rotmat_to_quat(R: jax.Array) -> jax.Array:

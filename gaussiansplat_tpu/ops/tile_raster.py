@@ -135,7 +135,7 @@ def rasterize_tiles_xla(
         s_excl = s_incl - ell
         t_in = jnp.exp(s_excl + log_t[:, None])
         w = alpha * t_in
-        acc = acc + w @ colors
+        acc = acc + jnp.dot(w, colors, precision=jax.lax.Precision.HIGHEST)
         log_t = log_t + s_incl[:, -1]
         return (acc, log_t), None
 

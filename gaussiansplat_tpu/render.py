@@ -95,7 +95,7 @@ def render(
             cfg,
             max_chunks=xla_max_chunks,
         )
-    elif impl == "pallas":
+    elif impl in ("pallas", "pallas_interpret"):
         from .ops.pallas.rasterize import rasterize_tiles_pallas
 
         out = rasterize_tiles_pallas(
@@ -105,6 +105,7 @@ def render(
             camera.width,
             camera.height,
             cfg,
+            interpret=(impl == "pallas_interpret"),
         )
     else:
         raise ValueError(f"unknown rasterizer impl: {impl!r}")

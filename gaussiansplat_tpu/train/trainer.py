@@ -1,0 +1,257 @@
+"""On-device 3DGS training loop.
+
+The rebuild of the reference's non-functional sketch (`train.jl:16-60`: loss
+call, backward, and SGD update are all commented out, `score` never updates,
+and the undefined `gpu` helper makes it unrunnable — SURVEY §2.3) as a real,
+jit-compiled trainer: per-parameter-group Adam (3DGS learning rates, with the
+position LR exp-decayed and scaled by scene extent), L1+DSSIM loss,
+screen-gradient statistics harvested through a zero-valued `mean2d_offset`
+input, and adaptive densify/prune/opacity-reset — all with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import RasterConfig, TrainConfig
+from ..models.densify import DensifyState, densify_step, prune_step, reset_opacity
+from ..models.gaussians import GaussianModel, scene_extent
+from ..ops.camera import Camera
+from ..render import RenderOutput, render
+from .loss import photometric_loss, psnr
+
+
+def position_lr_schedule(cfg: TrainConfig, extent: float) -> optax.Schedule:
+    """Exponential decay from lr_means to lr_means_final over the run, both
+    scaled by scene extent (3DGS's get_expon_lr_func)."""
+    init = cfg.lr_means * extent
+    final = cfg.lr_means_final * extent
+
+    def sched(step):
+        t = jnp.clip(step / cfg.iterations, 0.0, 1.0)
+        return jnp.exp(jnp.log(init) * (1 - t) + jnp.log(final) * t)
+
+    return sched
+
+
+def make_optimizer(cfg: TrainConfig, extent: float) -> optax.GradientTransformation:
+    """Per-parameter-group Adam, 3DGS learning rates (eps 1e-15 as upstream)."""
+    adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+    return optax.multi_transform(
+        dict(
+            means=adam(position_lr_schedule(cfg, extent)),
+            quats=adam(cfg.lr_quats),
+            log_scales=adam(cfg.lr_scales),
+            logit_opacities=adam(cfg.lr_opacities),
+            sh_dc=adam(cfg.lr_sh_dc),
+            sh_rest=adam(cfg.lr_sh_rest),
+        ),
+        param_labels=dict(
+            means="means",
+            quats="quats",
+            log_scales="log_scales",
+            logit_opacities="logit_opacities",
+            sh_dc="sh_dc",
+            sh_rest="sh_rest",
+        ),
+    )
+
+
+@struct.dataclass
+class TrainState:
+    model: GaussianModel
+    opt_state: optax.OptState
+    densify: DensifyState
+    step: jax.Array
+    key: jax.Array
+
+
+def init_train_state(
+    model: GaussianModel, cfg: TrainConfig, extent: float
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(cfg, extent)
+    params = model.trainable()
+    return (
+        TrainState(
+            model=model,
+            opt_state=tx.init(params),
+            densify=DensifyState.zeros(model.capacity),
+            step=jnp.zeros((), jnp.int32),
+            key=jax.random.PRNGKey(cfg.seed),
+        ),
+        tx,
+    )
+
+
+def make_train_step(
+    tx: optax.GradientTransformation,
+    raster_cfg: RasterConfig,
+    cfg: TrainConfig,
+    impl: Optional[str] = None,
+) -> Callable:
+    """Build the jit-able train step: render -> loss -> grads -> Adam update,
+    plus densification statistics. sh_degree is a static arg so the SH ramp
+    re-jits at most `sh_degree + 1` times."""
+
+    def step_fn(state: TrainState, camera: Camera, gt: jax.Array, sh_degree: int):
+        key, bg_key = jax.random.split(state.key)
+        if cfg.random_background:
+            background = jax.random.uniform(bg_key, (3,))
+        elif cfg.white_background:
+            background = jnp.ones((3,))
+        else:
+            background = jnp.zeros((3,))
+
+        params = state.model.trainable()
+        zeros2d = jnp.zeros((state.model.capacity, 2), jnp.float32)
+
+        def loss_fn(params, mean2d_offset):
+            m = state.model.with_params(params)
+            out = render(
+                m,
+                camera,
+                raster_cfg,
+                sh_degree=sh_degree,
+                background=background,
+                mean2d_offset=mean2d_offset,
+                impl=impl,
+            )
+            loss = photometric_loss(out.image, gt, cfg.ssim_lambda)
+            return loss, out
+
+        (loss, out), (grads, grad2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, zeros2d)
+
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        model = state.model.with_params(params)
+
+        densify = state.densify.update(grad2d, out.radii)
+        new_state = state.replace(
+            model=model,
+            opt_state=opt_state,
+            densify=densify,
+            step=state.step + 1,
+            key=key,
+        )
+        metrics = dict(
+            loss=loss,
+            psnr=psnr(out.image, gt),
+            num_pairs=out.num_pairs,
+            overflow=out.overflow,
+            max_chunks=out.max_chunks_needed,
+            num_alive=model.num_alive,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, static_argnames=("sh_degree",))
+
+
+def make_densify_fn(tx: optax.GradientTransformation, cfg: TrainConfig) -> Callable:
+    """jit-able densify/prune pass. Optimizer moments for touched slots are
+    reset to zero (3DGS replaces the optimizer rows for new points)."""
+
+    def densify_fn(state: TrainState, extent: jax.Array, prune_big: bool):
+        key, sub = jax.random.split(state.key)
+        before_alive = state.model.alive
+        model, dstate, info = densify_step(state.model, state.densify, sub, cfg, extent)
+        model, pinfo = prune_step(model, state.densify, cfg, extent, prune_big)
+        info.update(pinfo)
+
+        # Zero Adam moments for slots whose identity changed (new or dead).
+        changed = model.alive != before_alive
+
+        def reset_moments(opt_state):
+            def zero_like(tree):
+                def z(x):
+                    if x.ndim >= 1 and x.shape[0] == changed.shape[0]:
+                        mask = changed.reshape((-1,) + (1,) * (x.ndim - 1))
+                        return jnp.where(mask, 0.0, x)
+                    return x
+                return jax.tree_util.tree_map(z, tree)
+
+            return jax.tree_util.tree_map(
+                lambda x: x, zero_like(opt_state)
+            )
+
+        opt_state = reset_moments(state.opt_state)
+        return state.replace(
+            model=model,
+            opt_state=opt_state,
+            densify=dstate,
+            key=key,
+        ), info
+
+    return jax.jit(densify_fn, static_argnames=("prune_big",))
+
+
+def make_opacity_reset_fn(cfg: TrainConfig) -> Callable:
+    def fn(state: TrainState):
+        model = reset_opacity(state.model, cfg)
+        return state.replace(model=model)
+
+    return jax.jit(fn)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Orchestrates the schedule: SH ramp, densify window, opacity resets.
+
+    Python-side control flow only touches jit boundaries at schedule points
+    (every densify_every steps), so steady-state steps stay fully on device.
+    """
+
+    raster_cfg: RasterConfig
+    cfg: TrainConfig
+    impl: Optional[str] = None
+
+    def fit(
+        self,
+        model: GaussianModel,
+        views: Sequence[Tuple[Camera, jax.Array]],
+        log: Optional[Callable[[int, dict], None]] = None,
+        iterations: Optional[int] = None,
+    ) -> Tuple[GaussianModel, dict]:
+        cfg = self.cfg
+        extent = float(scene_extent(model))
+        state, tx = init_train_state(model, cfg, extent)
+        train_step = make_train_step(tx, self.raster_cfg, cfg, self.impl)
+        densify_fn = make_densify_fn(tx, cfg)
+        opacity_reset_fn = make_opacity_reset_fn(cfg)
+
+        iters = iterations if iterations is not None else cfg.iterations
+        metrics = {}
+        t0 = time.time()
+        for it in range(1, iters + 1):
+            cam, gt = views[(it - 1) % len(views)]
+            sh_degree = min(
+                cfg.sh_degree, (it - 1) // max(cfg.sh_increase_every, 1)
+            )
+            state, metrics = train_step(state, cam, gt, sh_degree)
+
+            if (
+                cfg.densify_start <= it <= cfg.densify_end
+                and it % cfg.densify_every == 0
+            ):
+                state, dinfo = densify_fn(
+                    state, jnp.float32(extent), it > cfg.opacity_reset_every
+                )
+                metrics.update(dinfo)
+
+            if it % cfg.opacity_reset_every == 0 and it <= cfg.densify_end:
+                state = opacity_reset_fn(state)
+
+            if log is not None and (it % cfg.log_every == 0 or it == iters):
+                m = {k: float(v) for k, v in metrics.items()}
+                m["iters_per_sec"] = it / (time.time() - t0)
+                log(it, m)
+
+        return state.model, {k: float(v) for k, v in metrics.items()}

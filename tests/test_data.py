@@ -1,0 +1,168 @@
+"""Data-layer tests: PLY round trip (numpy and native C++ paths),
+cameras.json round trip, COLMAP binary readers."""
+
+import json
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussiansplat_tpu.data import (
+    load_cameras_json,
+    load_gaussian_ply,
+    read_ply,
+    save_cameras_json,
+    save_gaussian_ply,
+    write_ply,
+)
+from gaussiansplat_tpu.data.native_loader import load_ply_native
+from gaussiansplat_tpu.models import from_arrays
+from gaussiansplat_tpu.ops import look_at
+
+
+def _random_gaussian_arrays(n=64, k_rest=15, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        means=rng.normal(size=(n, 3)).astype(np.float32),
+        quats=rng.normal(size=(n, 4)).astype(np.float32),
+        log_scales=rng.normal(size=(n, 3)).astype(np.float32),
+        logit_opacities=rng.normal(size=(n,)).astype(np.float32),
+        sh_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        sh_rest=rng.normal(size=(n, k_rest, 3)).astype(np.float32),
+    )
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path):
+        arrs = _random_gaussian_arrays()
+        path = str(tmp_path / "model.ply")
+        save_gaussian_ply(path, **arrs)
+        means, quats, log_scales, logit_op, sh_dc, sh_rest = load_gaussian_ply(path)
+        np.testing.assert_array_equal(means, arrs["means"])
+        np.testing.assert_array_equal(quats, arrs["quats"])
+        np.testing.assert_array_equal(log_scales, arrs["log_scales"])
+        np.testing.assert_array_equal(logit_op, arrs["logit_opacities"])
+        np.testing.assert_array_equal(sh_dc, arrs["sh_dc"])
+        np.testing.assert_array_equal(sh_rest, arrs["sh_rest"])
+
+    def test_inria_field_names(self, tmp_path):
+        """Field names must match the ecosystem layout the reference reads
+        (`splat.jl:57-63`): x,y,z, f_dc_*, f_rest_0..44, opacity, scale_*,
+        rot_*."""
+        arrs = _random_gaussian_arrays(k_rest=15)
+        path = str(tmp_path / "model.ply")
+        save_gaussian_ply(path, **arrs)
+        vertex = read_ply(path)["vertex"]
+        for f in ["x", "y", "z", "opacity", "f_dc_0", "f_dc_2", "f_rest_0",
+                  "f_rest_44", "scale_0", "scale_2", "rot_0", "rot_3", "nx"]:
+            assert f in vertex, f
+        assert "f_rest_45" not in vertex
+
+    def test_model_roundtrip(self, tmp_path):
+        arrs = _random_gaussian_arrays()
+        model = from_arrays(**arrs, capacity=128)
+        path = str(tmp_path / "model.ply")
+        n = 64
+        save_gaussian_ply(
+            path,
+            np.asarray(model.means[:n]), np.asarray(model.quats[:n]),
+            np.asarray(model.log_scales[:n]),
+            np.asarray(model.logit_opacities[:n]),
+            np.asarray(model.sh_dc[:n]), np.asarray(model.sh_rest[:n]),
+        )
+        m2 = from_arrays(*load_gaussian_ply(path), capacity=128)
+        np.testing.assert_array_equal(m2.means, model.means)
+        np.testing.assert_array_equal(m2.sh_rest, model.sh_rest)
+        assert int(m2.num_alive) == 64
+
+    def test_native_parser_matches_numpy(self, tmp_path):
+        lib = load_ply_native()
+        if lib is None:
+            pytest.skip("native toolchain unavailable")
+        arrs = _random_gaussian_arrays(n=1000)
+        path = str(tmp_path / "big.ply")
+        save_gaussian_ply(path, **arrs)
+        ref = read_ply(path)["vertex"]
+        nat = lib.parse_vertex_element(path)
+        assert set(nat.keys()) == set(ref.keys())
+        for k in ref:
+            np.testing.assert_array_equal(nat[k], ref[k].astype(np.float32))
+
+    def test_ascii_ply(self, tmp_path):
+        path = str(tmp_path / "a.ply")
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\nelement vertex 2\n"
+                    "property float x\nproperty float y\nend_header\n"
+                    "1.0 2.0\n3.0 4.0\n")
+        v = read_ply(path)["vertex"]
+        np.testing.assert_allclose(v["x"], [1.0, 3.0])
+        np.testing.assert_allclose(v["y"], [2.0, 4.0])
+
+
+class TestCamerasJson:
+    def test_roundtrip(self, tmp_path):
+        cams = [
+            look_at(eye=(1, 2, 5), target=(0, 0, 0), fx=500, fy=510,
+                    width=640, height=480),
+            look_at(eye=(-3, 1, 4), target=(0, 1, 0), fx=300, fy=300,
+                    width=320, height=240),
+        ]
+        path = str(tmp_path / "cameras.json")
+        save_cameras_json(path, cams)
+        loaded = load_cameras_json(path)
+        for a, b in zip(cams, loaded):
+            np.testing.assert_allclose(a.R, b.R, atol=1e-5)
+            np.testing.assert_allclose(a.t, b.t, atol=1e-5)
+            np.testing.assert_allclose(a.position, b.position, atol=1e-4)
+            assert (a.width, a.height) == (b.width, b.height)
+
+    def test_inria_convention(self, tmp_path):
+        """position/rotation are the cam-to-world pose, as the INRIA dump
+        (and the reference's `eye = -R^T p` at `camera.jl:142`) assume."""
+        cam = look_at(eye=(0, 0, -5), target=(0, 0, 0), width=64, height=64)
+        path = str(tmp_path / "cameras.json")
+        save_cameras_json(path, [cam])
+        entry = json.load(open(path))[0]
+        np.testing.assert_allclose(entry["position"], [0, 0, -5], atol=1e-5)
+
+
+class TestColmap:
+    def test_binary_readers(self, tmp_path):
+        from gaussiansplat_tpu.data.colmap import read_colmap_model
+
+        sparse = tmp_path / "sparse" / "0"
+        os.makedirs(sparse)
+        # cameras.bin: one PINHOLE camera
+        with open(sparse / "cameras.bin", "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<iiQQ", 1, 1, 640, 480))
+            f.write(struct.pack("<4d", 500.0, 510.0, 320.0, 240.0))
+        # images.bin: one image, identity rotation
+        with open(sparse / "images.bin", "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<idddddddi", 1, 1.0, 0, 0, 0, 0.5, 0.25, 2.0, 1))
+            f.write(b"img0.png\x00")
+            f.write(struct.pack("<Q", 0))
+        # points3D.bin: two points with color + a 1-element track
+        with open(sparse / "points3D.bin", "wb") as f:
+            f.write(struct.pack("<Q", 2))
+            for i, (xyz, rgb) in enumerate(
+                [((1.0, 2.0, 3.0), (255, 0, 0)), ((4.0, 5.0, 6.0), (0, 128, 0))]
+            ):
+                f.write(struct.pack("<QdddBBBd", i, *xyz, *rgb, 0.1))
+                f.write(struct.pack("<Q", 1))
+                f.write(struct.pack("<ii", 1, 0))
+
+        cams, xyz, rgb = read_colmap_model(str(sparse))
+        assert len(cams) == 1
+        name, cam = cams[0]
+        assert name == "img0.png"
+        assert (cam.width, cam.height) == (640, 480)
+        np.testing.assert_allclose(cam.R, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(cam.t, [0.5, 0.25, 2.0], atol=1e-6)
+        np.testing.assert_allclose(float(cam.fx), 500.0)
+        np.testing.assert_allclose(float(cam.cx), 320.0)
+        np.testing.assert_allclose(xyz, [[1, 2, 3], [4, 5, 6]])
+        np.testing.assert_allclose(rgb[0], [1.0, 0.0, 0.0])

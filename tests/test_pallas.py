@@ -1,0 +1,142 @@
+"""Pallas kernel tests (interpreter mode on CPU — SURVEY §5: interpret mode
+is the sanitizer analogue). Real-TPU execution of the same kernels is
+exercised by bench.py and benchmarks/verify_tpu.py on hardware."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussiansplat_tpu.config import RasterConfig
+from gaussiansplat_tpu.models import random_model
+from gaussiansplat_tpu.ops import look_at
+from gaussiansplat_tpu.render import render as _render
+
+render = jax.jit(_render, static_argnames=("cfg", "sh_degree", "impl", "xla_max_chunks"))
+
+CFG = RasterConfig(tile_size=32, chunk_size=128, impl="xla")
+# Small chunks force multi-chunk segments and exercise the reverse sweep,
+# boundary-chunk read-modify-write, and early exit.
+CFG_SMALL_CHUNK = RasterConfig(tile_size=32, chunk_size=8, impl="xla")
+
+
+def setup_scene(n=256, seed=0, width=128, height=128, opacity=0.8):
+    model = random_model(jax.random.PRNGKey(seed), n, sh_degree=1, extent=1.0,
+                         opacity=opacity)
+    cam = look_at(eye=(0.5, 0.3, -6.0), target=(0, 0, 0), fx=220.0, fy=220.0,
+                  width=width, height=height)
+    return model, cam
+
+
+def assert_images_close(a, b, atol=1e-4):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+class TestPallasForward:
+    @pytest.mark.parametrize("cfg", [CFG, CFG_SMALL_CHUNK], ids=["cs128", "cs8"])
+    def test_matches_xla(self, cfg):
+        model, cam = setup_scene()
+        bg = jnp.array([0.1, 0.2, 0.3])
+        ox = render(model, cam, cfg, sh_degree=1, background=bg, impl="xla",
+                    xla_max_chunks=256)
+        op = render(model, cam, cfg, sh_degree=1, background=bg,
+                    impl="pallas_interpret")
+        # identical math, modulo matmul-vs-cumsum association and early exit
+        assert_images_close(op.image, ox.image, atol=5e-4)
+        assert_images_close(op.transmittance, ox.transmittance, atol=5e-4)
+
+    def test_saturated_early_exit(self):
+        # near-opaque gaussians saturate tiles; pallas early-exits, xla does
+        # not — results must agree within trans_eps.
+        model, cam = setup_scene(n=512, opacity=0.99)
+        bg = jnp.zeros(3)
+        ox = render(model, cam, CFG_SMALL_CHUNK, sh_degree=1, background=bg,
+                    impl="xla", xla_max_chunks=256)
+        op = render(model, cam, CFG_SMALL_CHUNK, sh_degree=1, background=bg,
+                    impl="pallas_interpret")
+        assert float(ox.transmittance.min()) < 1e-4  # scene actually saturates
+        assert_images_close(op.image, ox.image, atol=2e-3)
+
+    def test_nonsquare(self):
+        model, _ = setup_scene(n=128)
+        cam = look_at(eye=(0, 0, -6), target=(0, 0, 0), fx=200, fy=200,
+                      width=100, height=72)
+        bg = jnp.array([0.5, 0.0, 0.25])
+        ox = render(model, cam, CFG, sh_degree=1, background=bg, impl="xla")
+        op = render(model, cam, CFG, sh_degree=1, background=bg,
+                    impl="pallas_interpret")
+        assert op.image.shape == (72, 100, 3)
+        assert_images_close(op.image, ox.image, atol=5e-4)
+
+    def test_empty_scene(self):
+        model, cam = setup_scene(n=4)
+        model = model.replace(alive=jnp.zeros_like(model.alive))
+        bg = jnp.array([0.25, 0.5, 0.75])
+        op = render(model, cam, CFG, sh_degree=1, background=bg,
+                    impl="pallas_interpret")
+        np.testing.assert_allclose(
+            op.image, jnp.broadcast_to(bg, op.image.shape), atol=1e-6)
+
+
+class TestPallasBackward:
+    @pytest.mark.parametrize("cfg", [CFG, CFG_SMALL_CHUNK], ids=["cs128", "cs8"])
+    def test_grads_match_xla(self, cfg):
+        """Hand-derived Pallas VJP vs autodiff of the XLA twin."""
+        model, cam = setup_scene(n=96, width=64, height=64)
+        target = jax.random.uniform(jax.random.PRNGKey(7), (64, 64, 3))
+        bg = jnp.array([0.3, 0.1, 0.6])
+
+        def make_loss(impl):
+            def loss(params):
+                m = model.with_params(params)
+                out = render(m, cam, cfg, sh_degree=1, background=bg,
+                             impl=impl, xla_max_chunks=256)
+                # touch both outputs so dtrans cotangent is nonzero
+                return (jnp.mean((out.image - target) ** 2)
+                        + 0.1 * jnp.mean(out.transmittance))
+            return loss
+
+        p = model.trainable()
+        g_xla = jax.jit(jax.grad(make_loss("xla")))(p)
+        g_pal = jax.jit(jax.grad(make_loss("pallas_interpret")))(p)
+        for k in p:
+            gx, gp = np.asarray(g_xla[k]), np.asarray(g_pal[k])
+            assert np.isfinite(gp).all(), k
+            scale = np.abs(gx).max() + 1e-8
+            np.testing.assert_allclose(gp / scale, gx / scale, atol=2e-3,
+                                       err_msg=f"grad mismatch for {k}")
+
+    def test_background_grad(self):
+        model, cam = setup_scene(n=64, width=64, height=64)
+
+        def loss(bg, impl):
+            out = render(model, cam, CFG, sh_degree=1, background=bg, impl=impl)
+            return jnp.sum(out.image * jnp.arange(3.0))
+
+        bg = jnp.array([0.2, 0.4, 0.6])
+        g_x = jax.jit(jax.grad(lambda b: loss(b, "xla")))(bg)
+        g_p = jax.jit(jax.grad(lambda b: loss(b, "pallas_interpret")))(bg)
+        np.testing.assert_allclose(g_p, g_x, rtol=1e-4, atol=1e-4)
+
+    def test_saturated_grads(self):
+        """Early-exited tiles must still produce correct (near-equal) grads."""
+        model, cam = setup_scene(n=256, width=64, height=64, opacity=0.99)
+        target = jnp.zeros((64, 64, 3))
+
+        def make_loss(impl):
+            def loss(params):
+                m = model.with_params(params)
+                out = render(m, cam, CFG_SMALL_CHUNK, sh_degree=1,
+                             background=jnp.zeros(3), impl=impl,
+                             xla_max_chunks=256)
+                return jnp.mean((out.image - target) ** 2)
+            return loss
+
+        p = model.trainable()
+        g_xla = jax.jit(jax.grad(make_loss("xla")))(p)
+        g_pal = jax.jit(jax.grad(make_loss("pallas_interpret")))(p)
+        for k in p:
+            gx, gp = np.asarray(g_xla[k]), np.asarray(g_pal[k])
+            scale = np.abs(gx).max() + 1e-8
+            np.testing.assert_allclose(gp / scale, gx / scale, atol=5e-3,
+                                       err_msg=f"grad mismatch for {k}")
