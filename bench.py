@@ -1,0 +1,110 @@
+"""Benchmark harness: fwd+bwd rays(pixels)/sec/chip at 1080p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md): its demonstrated config is
+a single 512x512 forward-only frame on an unspecified GPU
+(`examples/main.jl:9-34`), with no training step at all (the 3D backward
+does not exist, `splat.jl:271-396` is 2D-only). `vs_baseline` therefore
+compares against our own recorded first-round number when present
+(benchmarks/baseline.json), else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WIDTH, HEIGHT = 1920, 1080
+N_GAUSSIANS = 1_000_000
+SH_DEGREE = 3
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from gaussiansplat_tpu.config import RasterConfig
+    from gaussiansplat_tpu.models import random_model
+    from gaussiansplat_tpu.ops import look_at
+    from gaussiansplat_tpu.render import render
+    from gaussiansplat_tpu.train.loss import photometric_loss
+
+    backend = jax.default_backend()
+    cfg = RasterConfig(pairs_per_gaussian=8.0)
+
+    # Scene scaled so splats land at realistic sizes (~1-3 tiles each).
+    model = random_model(
+        jax.random.PRNGKey(0), N_GAUSSIANS, sh_degree=SH_DEGREE, extent=1.0,
+        opacity=0.8, scale_range=(0.004, 0.012),
+    )
+    camera = look_at(
+        eye=(0.0, 0.0, -4.0), target=(0.0, 0.0, 0.0), fx=1600.0, fy=1600.0,
+        width=WIDTH, height=HEIGHT,
+    )
+    target = jax.random.uniform(jax.random.PRNGKey(1), (HEIGHT, WIDTH, 3))
+    bg = jnp.zeros((3,), jnp.float32)
+    params = model.trainable()
+
+    impl = "pallas" if backend == "tpu" else "xla"
+
+    @jax.jit
+    def fwd(params):
+        m = model.with_params(params)
+        return render(m, camera, cfg, sh_degree=SH_DEGREE, background=bg,
+                      impl=impl).image
+
+    @jax.jit
+    def fwd_bwd(params):
+        def loss_fn(p):
+            m = model.with_params(p)
+            out = render(m, camera, cfg, sh_degree=SH_DEGREE, background=bg,
+                         impl=impl)
+            return photometric_loss(out.image, target, 0.2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    def timeit(f, *args):
+        for _ in range(WARMUP):
+            jax.block_until_ready(f(*args))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / ITERS
+
+    t_fwd = timeit(fwd, params)
+    t_step = timeit(fwd_bwd, params)
+
+    rays = WIDTH * HEIGHT
+    value = rays / t_step
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline.json"
+    )
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f).get("rays_per_sec_fwd_bwd_1080p")
+        if base:
+            vs = value / base
+
+    sys.stderr.write(
+        f"[bench] backend={backend} impl={impl} n={N_GAUSSIANS} "
+        f"fwd={t_fwd*1e3:.2f}ms fwd+bwd={t_step*1e3:.2f}ms "
+        f"({rays/t_fwd/1e9:.3f} / {value/1e9:.3f} Grays/s)\n"
+    )
+    print(json.dumps({
+        "metric": "rays_per_sec_fwd_bwd_1080p",
+        "value": value,
+        "unit": "rays/s/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

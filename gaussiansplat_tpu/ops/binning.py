@@ -25,7 +25,7 @@ Everything is integer/order data: gradients never flow through this module
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,11 +86,24 @@ def bin_gaussians(
     width: int,
     height: int,
     cfg: RasterConfig,
+    tile_row0=None,
+    tile_rows: Optional[int] = None,
+    capacity: Optional[int] = None,
 ) -> TileBinning:
+    """Bin into the full tile grid, or — for tile-sharded multi-chip
+    rendering (SURVEY §5 long-context analogue) — into a horizontal strip of
+    `tile_rows` tile rows starting at dynamic row `tile_row0`; each device
+    then bins only its strip with a per-strip pair capacity."""
     n = proj.mean2d.shape[0]
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
-    num_tiles = tiles_x * tiles_y
-    capacity = cfg.pair_capacity(n)
+    if tile_rows is None:
+        tile_rows = tiles_y
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
+    tile_row0 = jnp.asarray(tile_row0, jnp.int32)
+    num_tiles = tiles_x * tile_rows
+    if capacity is None:
+        capacity = cfg.pair_capacity(n)
 
     mean2d = jax.lax.stop_gradient(proj.mean2d)
     depth = jax.lax.stop_gradient(proj.depth)
@@ -98,6 +111,9 @@ def bin_gaussians(
     xmin, ymin, xmax, ymax = tile_ranges(
         mean2d, proj.radius, cfg.tile_size, tiles_x, tiles_y
     )
+    # Clip to the strip and re-index rows relative to it.
+    ymin = jnp.clip(ymin - tile_row0, 0, tile_rows)
+    ymax = jnp.clip(ymax - tile_row0, 0, tile_rows)
     tw = xmax - xmin
     th = ymax - ymin
     counts = jnp.minimum(tw * th, cfg.max_tiles_per_gaussian)

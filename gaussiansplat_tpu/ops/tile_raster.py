@@ -109,12 +109,20 @@ def rasterize_tiles_xla(
     height: int,
     cfg: RasterConfig,
     max_chunks: int = 64,
+    tile_row0=None,              # dynamic first tile row (tile-sharded strips)
+    tile_rows: Optional[int] = None,  # static number of tile rows to render
 ) -> RasterOut:
     cs = cfg.chunk_size
     ts = cfg.tile_size
     px = ts * ts
     tiles_x, tiles_y = tile_grid(width, height, ts)
-    num_tiles = tiles_x * tiles_y
+    strip = tile_rows is not None
+    if tile_rows is None:
+        tile_rows = tiles_y
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
+    tile_row0 = jnp.asarray(tile_row0, jnp.int32)
+    num_tiles = tiles_x * tile_rows
 
     # Pad so dynamic_slice never clamps (chunk windows can poke past the last
     # valid entry; padded rows are masked out via the segment length).
@@ -145,7 +153,7 @@ def rasterize_tiles_xla(
         start = tile_starts[t]
         end = tile_starts[t + 1]
         ox = ((t % tiles_x) * ts).astype(jnp.float32)
-        oy = ((t // tiles_x) * ts).astype(jnp.float32)
+        oy = ((t // tiles_x + tile_row0) * ts).astype(jnp.float32)
 
         def get_chunk(i):
             cstart = start + i * cs
@@ -168,8 +176,11 @@ def rasterize_tiles_xla(
     trans_tiles = jnp.exp(log_t)
     img_tiles = acc + trans_tiles[..., None] * background[None, None, :]
 
-    image = tiles_to_image(img_tiles, width, height, ts)
-    trans = tiles_to_image(trans_tiles, width, height, ts)
+    # A strip renders tile_rows * ts pixel rows (uncropped; strips compose to
+    # the padded image, which the caller crops); full grids crop to (H, W).
+    strip_h = tile_rows * ts
+    image = tiles_to_image(img_tiles, width, strip_h if strip else height, ts)
+    trans = tiles_to_image(trans_tiles, width, strip_h if strip else height, ts)
 
     seg_len = tile_starts[1:] - tile_starts[:-1]
     needed = (jnp.max(seg_len) + cs - 1) // cs

@@ -21,6 +21,12 @@ if _want == "cpu" and os.environ.get("_GSPLAT_TEST_REEXEC") != "1":
     env = dict(os.environ)
     env["_GSPLAT_TEST_REEXEC"] = "1"
     env["JAX_PLATFORM_NAME"] = "cpu"
+    # The TPU PJRT plugin is registered from sitecustomize only when
+    # PALLAS_AXON_POOL_IPS is set, and once registered it can override
+    # platform selection (and flake if the chip tunnel is down) — drop it
+    # and pin JAX_PLATFORMS so the CPU pin is deterministic.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
