@@ -219,10 +219,19 @@ class Trainer:
         views: Sequence[Tuple[Camera, jax.Array]],
         log: Optional[Callable[[int, dict], None]] = None,
         iterations: Optional[int] = None,
+        ckpt_dir: Optional[str] = None,
+        resume: bool = False,
     ) -> Tuple[GaussianModel, dict]:
         cfg = self.cfg
         extent = float(scene_extent(model))
         state, tx = init_train_state(model, cfg, extent)
+        start_it = 0
+        if ckpt_dir and resume:
+            from ..utils.checkpoint import restore_checkpoint
+
+            state, ck_step = restore_checkpoint(ckpt_dir, state)
+            if ck_step is not None:
+                start_it = ck_step
         train_step = make_train_step(tx, self.raster_cfg, cfg, self.impl)
         densify_fn = make_densify_fn(tx, cfg)
         opacity_reset_fn = make_opacity_reset_fn(cfg)
@@ -230,7 +239,7 @@ class Trainer:
         iters = iterations if iterations is not None else cfg.iterations
         metrics = {}
         t0 = time.time()
-        for it in range(1, iters + 1):
+        for it in range(start_it + 1, iters + 1):
             cam, gt = views[(it - 1) % len(views)]
             sh_degree = min(
                 cfg.sh_degree, (it - 1) // max(cfg.sh_increase_every, 1)
@@ -251,7 +260,12 @@ class Trainer:
 
             if log is not None and (it % cfg.log_every == 0 or it == iters):
                 m = {k: float(v) for k, v in metrics.items()}
-                m["iters_per_sec"] = it / (time.time() - t0)
+                m["iters_per_sec"] = (it - start_it) / (time.time() - t0)
                 log(it, m)
+
+            if ckpt_dir and (it % cfg.checkpoint_every == 0 or it == iters):
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(ckpt_dir, state, it)
 
         return state.model, {k: float(v) for k, v in metrics.items()}
