@@ -154,6 +154,9 @@ PAYLOAD_G = 7
 PAYLOAD_B = 8
 PAYLOAD_ONE = 9    # constant 1: rasterizer accumulates the alpha-weight image
 PAYLOAD_DEPTH = 10  # camera depth: rasterizer accumulates the depth image
+PAYLOAD_RADIUS = 11  # stop-grad bounding radius (0 = culled): lets sharded
+#                      renderers re-bin an exchanged payload without the
+#                      original Projected struct (parallel/gauss_shard.py)
 PAYLOAD_DIM = 16
 
 
@@ -176,6 +179,23 @@ def make_payload(proj: Projected) -> jax.Array:
         proj.rgb[:, 2],
         jnp.ones((n,), jnp.float32),
         proj.depth,
+        jax.lax.stop_gradient(proj.radius.astype(jnp.float32)),
     ]
     pad = [jnp.zeros((n,), jnp.float32)] * (PAYLOAD_DIM - len(cols))
     return jnp.stack(cols + pad, axis=-1)
+
+
+def payload_to_projected(payload: jax.Array) -> Projected:
+    """Rebuild a Projected view over a (M, 16) payload (inverse of
+    make_payload for the binning-relevant fields). Zero-padded rows decode as
+    radius 0 => invalid, so exchanged/padded buffers bin correctly."""
+    radius = jax.lax.stop_gradient(payload[:, PAYLOAD_RADIUS]).astype(jnp.int32)
+    return Projected(
+        mean2d=payload[:, PAYLOAD_MX : PAYLOAD_MY + 1],
+        depth=payload[:, PAYLOAD_DEPTH],
+        conic=payload[:, PAYLOAD_CA : PAYLOAD_CC + 1],
+        rgb=payload[:, PAYLOAD_R : PAYLOAD_B + 1],
+        opacity=payload[:, PAYLOAD_OP],
+        radius=radius,
+        valid=radius > 0,
+    )

@@ -1,15 +1,25 @@
+from .gauss_shard import (
+    GAUSS_AXIS,
+    make_gauss_mesh,
+    make_gauss_sharded_render,
+    shard_model,
+)
 from .mesh import DATA_AXIS, TILE_AXIS, make_mesh, mesh_from_config
 from .render import make_tile_sharded_render, render_strip
 from .train import make_sharded_train_step, pad_targets, stack_cameras
 
 __all__ = [
     "DATA_AXIS",
+    "GAUSS_AXIS",
     "TILE_AXIS",
+    "make_gauss_mesh",
+    "make_gauss_sharded_render",
     "make_mesh",
     "make_sharded_train_step",
     "make_tile_sharded_render",
     "mesh_from_config",
     "pad_targets",
     "render_strip",
+    "shard_model",
     "stack_cameras",
 ]

@@ -1,0 +1,221 @@
+"""Gaussian-axis sharding: scene parameters partitioned across devices.
+
+This is the HBM-scaling strategy for scenes too large for one chip's memory
+(BASELINE configs 4-5, up to 30M gaussians) — the domain analogue of tensor
+parallelism from SURVEY §2.4, with the communication schedule of SURVEY §5:
+
+  * Every device OWNS 1/D of the gaussian parameter pytree (all leaves
+    sharded on the capacity axis) and one horizontal strip of the tile grid.
+  * Per frame, each device projects only its own gaussians (O(N/D) work),
+    packs the projected 16-channel payloads by destination strip, and one
+    `lax.all_to_all` over ICI routes every payload to the strip owner whose
+    pixels it touches. Only the ~64B screen-space payload moves — never the
+    raw parameters (quats/SH/etc. stay put).
+  * The receiver re-bins the union of arrivals with the ordinary
+    (tile, depth) lexicographic sort, so front-to-back order is globally
+    EXACT without any cross-device depth partitioning — this sidesteps the
+    ordering hazard of ring compositing (SURVEY §5) entirely.
+  * The whole exchange is differentiable: the pack is a gather (VJP:
+    scatter-add), all_to_all transposes to the reverse all_to_all, so each
+    device receives exactly the gradient rows for the payloads it owns, and
+    autodiff continues through its local projection into its parameter
+    shard. No parameter-gradient psum is needed at all — each gradient lives
+    where its parameter lives.
+
+Static shapes throughout: per-destination send capacity is fixed
+(overflow counted, reported as a metric), matching the binning design.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RasterConfig
+from ..models.gaussians import GaussianModel
+from ..ops.binning import bin_gaussians, tile_grid
+from ..ops.camera import Camera
+from ..ops.projection import (
+    PAYLOAD_DIM,
+    make_payload,
+    payload_to_projected,
+    project_gaussians,
+)
+from ..ops.tile_raster import rasterize_tiles_xla
+
+GAUSS_AXIS = "gauss"
+
+
+def make_gauss_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (GAUSS_AXIS,))
+
+
+def shard_model(model: GaussianModel, mesh: Mesh) -> GaussianModel:
+    """Place the model with every leaf sharded on the capacity axis."""
+    sharding = NamedSharding(mesh, P(GAUSS_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), model
+    )
+
+
+def pack_by_strip(
+    payload: jax.Array,     # (n, 16) local projected payload
+    n_strips: int,
+    strip_h: int,           # pixels per strip
+    send_cap: int,          # per-destination entry capacity
+    expand_cap: int,        # (gaussian, strip) pair expansion capacity
+):
+    """Sort local gaussians by destination strip and emit a fixed-shape
+    (n_strips, send_cap, 16) send buffer plus the overflow count. A gaussian
+    whose bounding square spans k strips is duplicated into k rows (same
+    duplication scheme as tile binning)."""
+    n = payload.shape[0]
+    mean_y = jax.lax.stop_gradient(payload[:, 1])
+    radius = jax.lax.stop_gradient(payload[:, 11])
+    s0 = jnp.clip(
+        jnp.floor((mean_y - radius) / strip_h), 0, n_strips
+    ).astype(jnp.int32)
+    s1 = jnp.clip(
+        jnp.floor((mean_y + radius) / strip_h) + 1, 0, n_strips
+    ).astype(jnp.int32)
+    s1 = jnp.where(radius > 0, jnp.maximum(s1, s0), s0)
+    counts = s1 - s0
+
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1]
+    expand_overflow = jnp.maximum(total - expand_cap, 0)
+
+    ids = jnp.repeat(
+        jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=expand_cap
+    )
+    pos = jnp.arange(expand_cap, dtype=jnp.int32)
+    k = pos - offsets[ids]
+    in_range = (pos < jnp.minimum(total, expand_cap)) & (k >= 0) & (k < counts[ids])
+    dest = jnp.where(in_range, s0[ids] + k, n_strips).astype(jnp.int32)
+
+    sorted_dest, sorted_ids = jax.lax.sort((dest, ids), num_keys=1)
+    dest_starts = jnp.searchsorted(
+        sorted_dest, jnp.arange(n_strips + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    seg_len = dest_starts[1:] - dest_starts[:-1]          # (n_strips,)
+    send_overflow = jnp.sum(jnp.maximum(seg_len - send_cap, 0))
+
+    slot = jnp.arange(send_cap, dtype=jnp.int32)[None, :]  # (1, K)
+    gather_pos = jnp.clip(dest_starts[:-1, None] + slot, 0, expand_cap - 1)
+    entry_ok = slot < seg_len[:, None]                     # (n_strips, K)
+    gidx = jnp.where(entry_ok, sorted_ids[gather_pos], 0)
+    send = jnp.where(entry_ok[..., None], payload[gidx], 0.0)
+    return send, (expand_overflow + send_overflow).astype(jnp.int32)
+
+
+def render_gauss_sharded_strip(
+    model: GaussianModel,
+    camera: Camera,
+    cfg: RasterConfig,
+    sh_degree: int,
+    background: jax.Array,
+    n_strips: int,
+    rows: int,
+    send_cap: int,
+    axis_name: str = GAUSS_AXIS,
+    xla_max_chunks: int = 64,
+):
+    """Body run per device inside shard_map: project local shard, exchange
+    payloads, rasterize my strip. Returns (strip_img, strip_trans, aux)."""
+    ts = cfg.tile_size
+    strip_h = rows * ts
+    d = jax.lax.axis_index(axis_name)
+
+    proj = project_gaussians(
+        model.means, model.quats, model.log_scales, model.logit_opacities,
+        model.sh, camera, cfg, sh_degree=sh_degree, alive=model.alive,
+    )
+    payload = make_payload(proj)                      # (n_local, 16)
+    n_local = payload.shape[0]
+    send, pack_overflow = pack_by_strip(
+        payload, n_strips, strip_h, send_cap, expand_cap=2 * n_local
+    )
+    # (n_strips, K, 16) -> exchange: row block s goes to device s.
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )                                                  # (n_strips, K, 16)
+    flat = recv.reshape(n_strips * send_cap, PAYLOAD_DIM)
+    proj2 = payload_to_projected(flat)
+
+    binning = bin_gaussians(
+        proj2, camera.width, camera.height, cfg,
+        tile_row0=d * rows, tile_rows=rows,
+        # Arrivals <= n_strips*send_cap entries, but they only bin into 1/D of
+        # the tile grid; scale the pair budget accordingly.
+        capacity=max(
+            cfg.pair_capacity(n_strips * send_cap) // n_strips,
+            4 * cfg.chunk_size,
+        ),
+    )
+    sorted_payload = flat[binning.sorted_ids]
+    out = rasterize_tiles_xla(
+        sorted_payload, binning.tile_starts, background,
+        camera.width, camera.height, cfg, max_chunks=xla_max_chunks,
+        tile_row0=d * rows, tile_rows=rows,
+    )
+    aux = dict(
+        radii=proj.radius,
+        overflow=binning.overflow + pack_overflow,
+        num_pairs=binning.num_pairs,
+        max_chunks_needed=out.max_chunks_needed,
+    )
+    return out.image, out.transmittance, aux
+
+
+def make_gauss_sharded_render(
+    mesh: Mesh,
+    cfg: RasterConfig,
+    width: int,
+    height: int,
+    sh_degree: int,
+    send_cap: Optional[int] = None,
+    xla_max_chunks: int = 64,
+):
+    """Build jit-able `f(model, camera, background) -> (image, trans)` with
+    the model sharded over the mesh's gauss axis (use `shard_model`).
+    The tile grid's rows must divide evenly across devices."""
+    nd = mesh.shape[GAUSS_AXIS]
+    ts = cfg.tile_size
+    tiles_x, tiles_y = tile_grid(width, height, ts)
+    if tiles_y % nd != 0:
+        raise ValueError(
+            f"tile rows ({tiles_y}) must divide across the gauss axis ({nd}); "
+            f"pad the image height to a multiple of {ts * nd} pixels"
+        )
+    rows = tiles_y // nd
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(GAUSS_AXIS), P(), P()),
+        out_specs=(P(GAUSS_AXIS, None, None), P(GAUSS_AXIS, None)),
+        check_vma=False,
+    )
+    def _sharded(model, camera, background):
+        cap = send_cap
+        if cap is None:
+            cap = max(2 * model.capacity, 512)  # model.capacity is LOCAL here
+        img, trans, _ = render_gauss_sharded_strip(
+            model, camera, cfg, sh_degree, background, nd, rows, cap,
+            xla_max_chunks=xla_max_chunks,
+        )
+        return img, trans
+
+    def f(model, camera, background):
+        img, trans = _sharded(model, camera, background)
+        return img[:height], trans[:height]
+
+    return f
