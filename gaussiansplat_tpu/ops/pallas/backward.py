@@ -84,7 +84,9 @@ def _bwd_kernel(
 
     start = tile_starts_ref[t]
     end = tile_starts_ref[t + 1]
-    base = (start // cs) * cs
+    # multiple_of: Mosaic must prove HBM DMA offsets divisible by the lane
+    # tiling (128); see the same hint in forward.py.
+    base = pl.multiple_of((start // cs) * cs, cs)
     n_chunks = (end - base + cs - 1) // cs
     stop = stops_ref[t]
 
@@ -111,7 +113,7 @@ def _bwd_kernel(
 
     def chunk_dma(slot, ci):
         return pltpu.make_async_copy(
-            payload_ref.at[:, pl.ds(base + ci * cs, cs)],
+            payload_ref.at[:, pl.ds(pl.multiple_of(base + ci * cs, cs), cs)],
             chunk_buf.at[slot],
             in_sems.at[slot],
         )
@@ -197,7 +199,7 @@ def _bwd_kernel(
         @pl.when(ci == 0)
         def _():
             rmw = pltpu.make_async_copy(
-                dpayload_ref.at[:, pl.ds(base, cs)],
+                dpayload_ref.at[:, pl.ds(pl.multiple_of(base, cs), cs)],
                 out_buf, out_sem.at[0],
             )
             rmw.start()
@@ -211,7 +213,7 @@ def _bwd_kernel(
 
         wr = pltpu.make_async_copy(
             out_buf,
-            dpayload_ref.at[:, pl.ds(base + ci * cs, cs)],
+            dpayload_ref.at[:, pl.ds(pl.multiple_of(base + ci * cs, cs), cs)],
             out_sem.at[0],
         )
         wr.start()

@@ -69,7 +69,10 @@ def _fwd_kernel(
 
     start = tile_starts_ref[t]
     end = tile_starts_ref[t + 1]
-    base = (start // cs) * cs          # aligned window start
+    # Aligned window start. The multiple_of hint is required on hardware:
+    # Mosaic must prove HBM DMA slice offsets divisible by the lane tiling
+    # (128) and cannot see through the //*cs round-down on its own.
+    base = pl.multiple_of((start // cs) * cs, cs)
     n_chunks = (end - base + cs - 1) // cs
 
     ox = ((t % tiles_x) * tile_size).astype(jnp.float32)
@@ -80,7 +83,7 @@ def _fwd_kernel(
 
     def chunk_dma(slot, ci):
         return pltpu.make_async_copy(
-            payload_ref.at[:, pl.ds(base + ci * cs, cs)],
+            payload_ref.at[:, pl.ds(pl.multiple_of(base + ci * cs, cs), cs)],
             chunk_buf.at[slot],
             sems.at[slot],
         )
@@ -131,6 +134,13 @@ def _fwd_kernel(
         jnp.bool_(True),
     )
     ci, acc, log_t, _ = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the next chunk's DMA in flight (body ci-1 prefetched
+    # chunk ci before the transmittance test stopped the loop). Drain it, or
+    # the dangling semaphore corrupts the next grid step's first wait.
+    @pl.when(ci < n_chunks)
+    def _():
+        chunk_dma(ci % 2, ci).wait()
 
     # The stop-chunk counter rides a spare row of the output block (Mosaic
     # rejects tiny scalar output blocks); exact as f32 for any real count.
