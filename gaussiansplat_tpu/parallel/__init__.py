@@ -4,6 +4,7 @@ from .gauss_shard import (
     make_gauss_sharded_render,
     shard_model,
 )
+from .gauss_train import init_gauss_sharded_state, make_gauss_sharded_train_step
 from .mesh import DATA_AXIS, TILE_AXIS, make_mesh, mesh_from_config
 from .render import make_tile_sharded_render, render_strip
 from .train import make_sharded_train_step, pad_targets, stack_cameras
@@ -12,8 +13,10 @@ __all__ = [
     "DATA_AXIS",
     "GAUSS_AXIS",
     "TILE_AXIS",
+    "init_gauss_sharded_state",
     "make_gauss_mesh",
     "make_gauss_sharded_render",
+    "make_gauss_sharded_train_step",
     "make_mesh",
     "make_sharded_train_step",
     "make_tile_sharded_render",

@@ -127,6 +127,7 @@ def render_gauss_sharded_strip(
     send_cap: int,
     axis_name: str = GAUSS_AXIS,
     xla_max_chunks: int = 64,
+    mean2d_offset: Optional[jax.Array] = None,   # (n_local, 2)
 ):
     """Body run per device inside shard_map: project local shard, exchange
     payloads, rasterize my strip. Returns (strip_img, strip_trans, aux)."""
@@ -138,6 +139,8 @@ def render_gauss_sharded_strip(
         model.means, model.quats, model.log_scales, model.logit_opacities,
         model.sh, camera, cfg, sh_degree=sh_degree, alive=model.alive,
     )
+    if mean2d_offset is not None:
+        proj = proj.replace(mean2d=proj.mean2d + mean2d_offset)
     payload = make_payload(proj)                      # (n_local, 16)
     n_local = payload.shape[0]
     send, pack_overflow = pack_by_strip(
@@ -200,22 +203,41 @@ def make_gauss_sharded_render(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(GAUSS_AXIS), P(), P()),
-        out_specs=(P(GAUSS_AXIS, None, None), P(GAUSS_AXIS, None)),
+        in_specs=(P(GAUSS_AXIS), P(), P(), P(GAUSS_AXIS)),
+        out_specs=(
+            P(GAUSS_AXIS, None, None),
+            P(GAUSS_AXIS, None),
+            P(GAUSS_AXIS),
+            P(),
+        ),
         check_vma=False,
     )
-    def _sharded(model, camera, background):
+    def _sharded(model, camera, background, mean2d_offset):
         cap = send_cap
         if cap is None:
             cap = max(2 * model.capacity, 512)  # model.capacity is LOCAL here
-        img, trans, _ = render_gauss_sharded_strip(
+        img, trans, aux = render_gauss_sharded_strip(
             model, camera, cfg, sh_degree, background, nd, rows, cap,
-            xla_max_chunks=xla_max_chunks,
+            xla_max_chunks=xla_max_chunks, mean2d_offset=mean2d_offset,
         )
-        return img, trans
+        scalars = jnp.stack([
+            jax.lax.psum(aux["overflow"].astype(jnp.float32), GAUSS_AXIS),
+            jax.lax.pmax(
+                aux["max_chunks_needed"].astype(jnp.float32), GAUSS_AXIS
+            ),
+        ])
+        return img, trans, aux["radii"], scalars
 
-    def f(model, camera, background):
-        img, trans = _sharded(model, camera, background)
-        return img[:height], trans[:height]
+    def f(model, camera, background, mean2d_offset=None, with_aux: bool = False):
+        if mean2d_offset is None:
+            mean2d_offset = jnp.zeros((model.capacity, 2), jnp.float32)
+        img, trans, radii, scalars = _sharded(
+            model, camera, background, mean2d_offset
+        )
+        if not with_aux:
+            return img[:height], trans[:height]
+        aux = dict(radii=radii, overflow=scalars[0].astype(jnp.int32),
+                   max_chunks_needed=scalars[1].astype(jnp.int32))
+        return img[:height], trans[:height], aux
 
     return f

@@ -83,3 +83,61 @@ class TestGaussShardedRender:
             mesh, CFG, cam.width, cam.height, 1, send_cap=8))
         img, _ = f(smodel, cam, jnp.zeros((3,)))
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestGaussShardedTrain:
+    def test_step_matches_single_device(self):
+        """One gauss-sharded Adam step == the single-device trainer step."""
+        from gaussiansplat_tpu.config import TrainConfig
+        from gaussiansplat_tpu.parallel import (
+            init_gauss_sharded_state,
+            make_gauss_sharded_train_step,
+        )
+        from gaussiansplat_tpu.train import init_train_state, make_train_step
+
+        model, cam = setup(n=128, width=64, height=64)
+        gt = jax.random.uniform(jax.random.PRNGKey(5), (64, 64, 3))
+        tcfg = TrainConfig(random_background=False, ssim_lambda=0.2)
+
+        mesh = make_gauss_mesh(2)
+        sstate, stx = init_gauss_sharded_state(model, mesh, tcfg, extent=1.0)
+        sstep = make_gauss_sharded_train_step(
+            mesh, stx, CFG, tcfg, 64, 64, sh_degree=1)
+        sstate2, smetrics = sstep(sstate, cam, gt)
+
+        state, tx = init_train_state(model, tcfg, extent=1.0)
+        step = make_train_step(tx, CFG, tcfg, impl="xla")
+        state2, metrics = step(state, cam, gt, 1)
+
+        np.testing.assert_allclose(
+            float(smetrics["loss"]), float(metrics["loss"]), rtol=1e-5)
+        for k, v in state2.model.trainable().items():
+            got = np.asarray(sstate2.model.trainable()[k])
+            want = np.asarray(v)
+            scale = np.abs(want).max() + 1e-8
+            np.testing.assert_allclose(got / scale, want / scale, atol=2e-3,
+                                       err_msg=k)
+        # densify statistics accumulate identically
+        np.testing.assert_allclose(
+            np.asarray(sstate2.densify.max_radii),
+            np.asarray(state2.densify.max_radii))
+
+    def test_loss_drops_over_steps(self):
+        from gaussiansplat_tpu.config import TrainConfig
+        from gaussiansplat_tpu.parallel import (
+            init_gauss_sharded_state,
+            make_gauss_sharded_train_step,
+        )
+
+        model, cam = setup(n=256, width=64, height=128)
+        ref = render(model, cam, CFG, sh_degree=1, impl="xla").image
+        model2, _ = setup(n=256, width=64, height=128, seed=9)
+        mesh = make_gauss_mesh(4)
+        tcfg = TrainConfig(random_background=False)
+        state, tx = init_gauss_sharded_state(model2, mesh, tcfg, extent=1.0)
+        step = make_gauss_sharded_train_step(mesh, tx, CFG, tcfg, 64, 128, 1)
+        losses = []
+        for _ in range(4):
+            state, m = step(state, cam, jnp.clip(ref, 0, 1))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
