@@ -48,7 +48,25 @@ def read_cameras_bin(path: str) -> Dict[int, dict]:
     return cams
 
 
+_COLMAP_NATIVE = None
+
+
+def _colmap_native():
+    global _COLMAP_NATIVE
+    if _COLMAP_NATIVE is None:
+        from . import native_loader
+
+        _COLMAP_NATIVE = native_loader.load_colmap_native() or False
+    return _COLMAP_NATIVE or None
+
+
 def read_images_bin(path: str) -> List[dict]:
+    native = _colmap_native()
+    if native is not None:
+        try:
+            return native.read_images(path)
+        except Exception:
+            pass
     images = []
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -71,6 +89,12 @@ def read_images_bin(path: str) -> List[dict]:
 
 
 def read_points3d_bin(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    native = _colmap_native()
+    if native is not None:
+        try:
+            return native.read_points3d(path)
+        except Exception:
+            pass
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3), np.float64)

@@ -93,3 +93,82 @@ def load_ply_native() -> Optional[PlyNative]:
         return PlyNative(ctypes.CDLL(so))
     except OSError:
         return None
+
+
+class ColmapNative:
+    """Wrapper over native/colmap_io.cpp (points3D.bin / images.bin)."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        for fn in ("colmap_points_count", "colmap_images_count"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_char_p]
+        lib.colmap_read_points3d.restype = ctypes.c_int64
+        lib.colmap_read_points3d.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.colmap_read_images.restype = ctypes.c_int64
+        lib.colmap_read_images.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
+        ]
+
+    def read_points3d(self, path: str):
+        n = self._lib.colmap_points_count(path.encode())
+        if n < 0:
+            raise IOError(f"native COLMAP parser could not open {path}")
+        xyz = np.empty((n, 3), np.float32)
+        rgb = np.empty((n, 3), np.float32)
+        got = self._lib.colmap_read_points3d(
+            path.encode(),
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if got != n:
+            raise IOError(f"truncated points3D.bin: {got}/{n} records")
+        return xyz, rgb
+
+    def read_images(self, path: str):
+        n = self._lib.colmap_images_count(path.encode())
+        if n < 0:
+            raise IOError(f"native COLMAP parser could not open {path}")
+        quat = np.empty((n, 4), np.float64)
+        t = np.empty((n, 3), np.float64)
+        cam_id = np.empty((n,), np.int32)
+        names = ctypes.create_string_buffer(n * 256)
+        got = self._lib.colmap_read_images(
+            path.encode(),
+            quat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cam_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            names,
+        )
+        if got != n:
+            raise IOError(f"truncated images.bin: {got}/{n} records")
+        out = []
+        for i in range(n):
+            raw = names.raw[i * 256 : (i + 1) * 256]
+            out.append(
+                dict(
+                    quat=quat[i],
+                    t=t[i],
+                    camera_id=int(cam_id[i]),
+                    name=raw.split(b"\x00", 1)[0].decode(),
+                )
+            )
+        return out
+
+
+def load_colmap_native() -> Optional[ColmapNative]:
+    so = _build_lib("colmap_io", "colmap_io.cpp")
+    if so is None:
+        return None
+    try:
+        return ColmapNative(ctypes.CDLL(so))
+    except OSError:
+        return None

@@ -166,3 +166,61 @@ class TestColmap:
         np.testing.assert_allclose(float(cam.cx), 320.0)
         np.testing.assert_allclose(xyz, [[1, 2, 3], [4, 5, 6]])
         np.testing.assert_allclose(rgb[0], [1.0, 0.0, 0.0])
+
+
+class TestColmapNativeParity:
+    """native/colmap_io.cpp must agree byte-for-byte with the numpy readers."""
+
+    def _write_model(self, sparse, n_pts=257, n_imgs=9):
+        rng = np.random.default_rng(0)
+        os.makedirs(sparse, exist_ok=True)
+        with open(sparse / "images.bin", "wb") as f:
+            f.write(struct.pack("<Q", n_imgs))
+            for i in range(n_imgs):
+                q = rng.normal(size=4)
+                t = rng.normal(size=3)
+                f.write(struct.pack("<idddddddi", i, *q, *t, i % 3))
+                f.write(f"frame_{i:03d}_{'x' * (i % 40)}.png".encode() + b"\x00")
+                n2d = int(rng.integers(0, 50))
+                f.write(struct.pack("<Q", n2d))
+                f.write(b"\x00" * (24 * n2d))
+        with open(sparse / "points3D.bin", "wb") as f:
+            f.write(struct.pack("<Q", n_pts))
+            for i in range(n_pts):
+                xyz = rng.normal(size=3)
+                rgb = rng.integers(0, 256, size=3)
+                f.write(struct.pack("<QdddBBBd", i, *xyz, *[int(v) for v in rgb], 0.5))
+                tl = int(rng.integers(0, 12))
+                f.write(struct.pack("<Q", tl))
+                f.write(b"\x00" * (8 * tl))
+
+    def test_points_and_images_match_python(self, tmp_path):
+        from gaussiansplat_tpu.data import colmap, native_loader
+
+        native = native_loader.load_colmap_native()
+        if native is None:
+            import pytest
+
+            pytest.skip("no C++ toolchain for native colmap parser")
+        sparse = tmp_path / "sparse"
+        self._write_model(sparse)
+
+        nx, nc = native.read_points3d(str(sparse / "points3D.bin"))
+        # force the pure-python path for comparison
+        saved = colmap._COLMAP_NATIVE
+        colmap._COLMAP_NATIVE = False
+        try:
+            px, pc = colmap.read_points3d_bin(str(sparse / "points3D.bin"))
+            pimgs = colmap.read_images_bin(str(sparse / "images.bin"))
+        finally:
+            colmap._COLMAP_NATIVE = saved
+        np.testing.assert_array_equal(nx, px)
+        np.testing.assert_array_equal(nc, pc)
+
+        nimgs = native.read_images(str(sparse / "images.bin"))
+        assert len(nimgs) == len(pimgs)
+        for a, b in zip(nimgs, pimgs):
+            assert a["name"] == b["name"]
+            assert a["camera_id"] == b["camera_id"]
+            np.testing.assert_array_equal(a["quat"], b["quat"])
+            np.testing.assert_array_equal(a["t"], b["t"])
