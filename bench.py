@@ -20,6 +20,15 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# First compile of the 1080p pipeline is minutes (remote-compiled via the
+# chip tunnel); persist it so repeated bench runs are compile-free.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gsplat_tpu_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSSIANS = 1_000_000
 SH_DEGREE = 3
