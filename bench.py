@@ -44,7 +44,10 @@ def main():
     from gaussiansplat_tpu.train.loss import photometric_loss
 
     backend = jax.default_backend()
-    cfg = RasterConfig(pairs_per_gaussian=8.0)
+    # The (tile, depth) sort dominates frame time and sorts the full static
+    # capacity, so keep the pair budget tight: this scene measures ~2.9
+    # pairs/gaussian (overflow is reported if a config exceeds the budget).
+    cfg = RasterConfig(pairs_per_gaussian=4.0)
 
     # Scene scaled so splats land at realistic sizes (~1-3 tiles each).
     model = random_model(

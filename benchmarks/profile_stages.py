@@ -7,10 +7,14 @@ pair with utils.profile_trace for full XProf timelines).
 """
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(f, *args, warmup=2, iters=10):

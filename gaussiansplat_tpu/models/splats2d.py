@@ -162,7 +162,7 @@ def render_splats2d(
     proj = project_splats2d(model, cfg, width, height)
     binning = bin_gaussians(proj, width, height, cfg)
     payload = make_payload(proj)
-    sorted_payload = payload[binning.sorted_ids]
+    sorted_payload = binning.gather_payload(payload)
 
     if impl == "xla":
         out = rasterize_tiles_xla(

@@ -68,9 +68,18 @@ def tile_ranges(
 
 @struct.dataclass
 class TileBinning:
-    """Sorted (tile, depth)-keyed pair list with per-tile segment offsets."""
+    """Sorted (tile, depth)-keyed pair list with per-tile segment offsets.
 
-    sorted_ids: jax.Array    # (P,) int32 gaussian index per pair (garbage past num_pairs)
+    Pair indices are kept in DEPTH-RANK space (`sorted_ranks` indexes
+    gaussians after the depth presort; `depth_order` maps rank -> original
+    index). Use `gather_payload` / `sorted_ids` rather than indexing
+    manually: the two-stage gather (reorder N rows once, then gather P pairs
+    from the small reordered table) is ~2x cheaper than a fused P-sized
+    gather through the composed index map.
+    """
+
+    sorted_ranks: jax.Array  # (P,) int32 depth-rank per pair (garbage past num_pairs)
+    depth_order: jax.Array   # (N,) int32 depth rank -> original gaussian index
     sorted_tiles: jax.Array  # (P,) int32 tile id per pair (== num_tiles sentinel past end)
     tile_starts: jax.Array   # (num_tiles + 1,) int32 segment offsets into the sorted list
     num_pairs: jax.Array     # () int32 valid pairs actually binned (<= capacity)
@@ -78,7 +87,17 @@ class TileBinning:
 
     @property
     def capacity(self) -> int:
-        return self.sorted_ids.shape[0]
+        return self.sorted_ranks.shape[0]
+
+    @property
+    def sorted_ids(self) -> jax.Array:
+        """(P,) original gaussian index per pair (materializes a P-gather;
+        prefer gather_payload on hot paths)."""
+        return self.depth_order[self.sorted_ranks]
+
+    def gather_payload(self, payload: jax.Array) -> jax.Array:
+        """Gather per-gaussian payload rows into sorted pair order."""
+        return payload[self.depth_order][self.sorted_ranks]
 
 
 def bin_gaussians(
@@ -108,6 +127,14 @@ def bin_gaussians(
     mean2d = jax.lax.stop_gradient(proj.mean2d)
     depth = jax.lax.stop_gradient(proj.depth)
 
+    # Depth-presort the N gaussians once (N << P pairs), then expand pairs in
+    # that order: a single sort on tile id alone leaves every tile segment in
+    # exact front-to-back order. Packing the depth rank into the key keeps
+    # the sort single-key AND stable-equivalent (keys unique per pair) —
+    # still exact, unlike the reference, whose compaction ranks ignore its
+    # depth sort (SURVEY §2.2, compact.jl note).
+    order = jnp.argsort(depth, stable=True).astype(jnp.int32)
+
     xmin, ymin, xmax, ymax = tile_ranges(
         mean2d, proj.radius, cfg.tile_size, tiles_x, tiles_y
     )
@@ -119,35 +146,67 @@ def bin_gaussians(
     counts = jnp.minimum(tw * th, cfg.max_tiles_per_gaussian)
     counts = jnp.where(proj.valid, counts, 0)
 
+    # Reindex per-gaussian data into depth order.
+    xmin, ymin, tw = xmin[order], ymin[order], tw[order]
+    counts = counts[order]
+
     offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
     total = offsets[-1] + counts[-1]
     overflow = jnp.maximum(total - capacity, 0)
 
-    # Expand: pair p belongs to gaussian ids[p]; its rank within that
-    # gaussian's run is k = p - offsets[ids[p]], which enumerates the covered
-    # tile rectangle row-major. `jnp.repeat` pads past `total` by repeating
-    # the final element; those pairs are masked off below.
-    ids = jnp.repeat(
-        jnp.arange(n, dtype=jnp.int32), counts, total_repeat_length=capacity
-    )
+    # Expand WITHOUT per-pair gathers (a P-sized gather from an N-sized
+    # table costs ~8x a streaming pass at this scale, and the naive form
+    # needs five of them plus jnp.repeat's searchsorted): scatter per-segment
+    # DELTAS of the per-gaussian descriptors at each segment start, then one
+    # cumsum telescopes them into "this segment's descriptor" at every pair
+    # position. (xmin:14 | ymin:14) pack into one i32 — exact under the
+    # telescoping sum since intermediate values are always a real descriptor,
+    # never a partial field. (x64 is disabled, so no i64 mega-pack.)
+    off_c = jnp.minimum(offsets, capacity).astype(jnp.int32)
+    xy = (xmin.astype(jnp.int32) << 14) | ymin.astype(jnp.int32)
+    d_off = jnp.diff(off_c, prepend=0)
+    d_xy = jnp.diff(xy, prepend=0)
+    d_tw = jnp.diff(tw, prepend=0)
+    # Scatter at segment starts; empty segments share a start with their
+    # successor and their deltas accumulate — telescoping keeps the sum
+    # equal to the OWNING (last) gaussian's descriptor. Out-of-capacity
+    # segment starts drop (their pairs are beyond the buffer anyway).
+    pos32 = offsets.astype(jnp.int32)
+    z32 = jnp.zeros((capacity,), jnp.int32)
+    seg_off = z32.at[pos32].add(d_off, mode="drop")
+    seg_xy = z32.at[pos32].add(d_xy, mode="drop")
+    seg_tw = z32.at[pos32].add(d_tw, mode="drop")
+    seg_one = z32.at[pos32].add(jnp.ones((n,), jnp.int32), mode="drop")
+    off_p = jnp.cumsum(seg_off)
+    xy_p = jnp.cumsum(seg_xy)
+    tw_p = jnp.cumsum(seg_tw)
+    ids_o = jnp.cumsum(seg_one) - 1                 # depth rank per pair
+
     pos = jnp.arange(capacity, dtype=jnp.int32)
-    k = pos - offsets[ids]
-    tw_safe = jnp.maximum(tw[ids], 1)
-    tile_x = xmin[ids] + k % tw_safe
-    tile_y = ymin[ids] + k // tw_safe
-    in_range = (pos < jnp.minimum(total, capacity)) & (k >= 0) & (k < counts[ids])
+    xm = (xy_p >> 14) & 0x3FFF
+    ym = xy_p & 0x3FFF
+    k = pos - off_p
+    tw_safe = jnp.maximum(tw_p, 1)
+    tile_x = xm + k % tw_safe
+    tile_y = ym + k // tw_safe
+    # Segments tile [0, total) exactly, so k ∈ [0, counts) holds wherever
+    # pos < total; only the tail needs masking.
+    in_range = pos < jnp.minimum(total, capacity)
 
     tile_id = jnp.where(
         in_range, tile_y * tiles_x + tile_x, num_tiles
     ).astype(jnp.int32)
-    depth_key = jnp.where(in_range, depth[ids], jnp.inf).astype(jnp.float32)
 
-    # One lexicographic sort on (tile, depth): per-tile lists come out in
-    # correct front-to-back order — unlike the reference, whose compaction
-    # ranks ignore its depth sort (SURVEY §2.2, compact.jl note).
-    sorted_tiles, _, sorted_ids = jax.lax.sort(
-        (tile_id, depth_key, ids), num_keys=2
-    )
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    rank_bits = max(int(n - 1).bit_length(), 1) if n > 1 else 1
+    if tile_bits + rank_bits <= 31:
+        key = (tile_id << rank_bits) | ids_o
+        sorted_key, sorted_ids_o = jax.lax.sort((key, ids_o), num_keys=1)
+        sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
+    else:
+        sorted_tiles, sorted_ids_o = jax.lax.sort(
+            (tile_id, ids_o), num_keys=1, is_stable=True
+        )
 
     tile_starts = jnp.searchsorted(
         sorted_tiles,
@@ -156,7 +215,8 @@ def bin_gaussians(
     ).astype(jnp.int32)
 
     return TileBinning(
-        sorted_ids=sorted_ids,
+        sorted_ranks=sorted_ids_o,
+        depth_order=order,
         sorted_tiles=sorted_tiles,
         tile_starts=tile_starts,
         num_pairs=jnp.minimum(total, capacity).astype(jnp.int32),

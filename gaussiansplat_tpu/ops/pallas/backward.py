@@ -46,6 +46,7 @@ from .common import (
     CH_G,
     CH_ONE,
     CH_R,
+    NBUF,
     NCH,
     NOUT,
     OUT_LOGT,
@@ -67,10 +68,10 @@ def _bwd_kernel(
     # output
     dpayload_ref,      # (NCH, Ppad) f32 HBM
     # scratch
-    chunk_buf,         # (2, NCH, CS) VMEM
-    out_buf,           # (NCH, CS) VMEM
-    in_sems,           # (2,) DMA sems
-    out_sem,           # (1,) DMA sem
+    chunk_buf,         # (NBUF, NCH, CS) VMEM read ring
+    out_buf,           # (2, NCH, CS) VMEM write double buffer
+    in_sems,           # (NBUF,) DMA sems
+    out_sems,          # (2,) DMA sems
     *,
     tile_size: int,
     chunk_size: int,
@@ -118,20 +119,31 @@ def _bwd_kernel(
             in_sems.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        chunk_dma((n_chunks - 1) % 2, n_chunks - 1).start()
+    def out_dma(slot, ci):
+        return pltpu.make_async_copy(
+            out_buf.at[slot],
+            dpayload_ref.at[:, pl.ds(pl.multiple_of(base + ci * cs, cs), cs)],
+            out_sems.at[slot],
+        )
+
+    # Reverse-direction NBUF-deep read ring (see forward.py: 8-16KB chunk
+    # DMAs are latency-bound; keep several in flight).
+    for o in range(NBUF - 1):
+        @pl.when(o < n_chunks)
+        def _(o=o):
+            chunk_dma((n_chunks - 1 - o) % NBUF, n_chunks - 1 - o).start()
 
     def body(j, carry):
         log_t_end, dlog_t_end = carry
         ci = n_chunks - 1 - j
 
-        @pl.when(ci - 1 >= 0)
+        nxt = ci - (NBUF - 1)
+        @pl.when(nxt >= 0)
         def _():
-            chunk_dma((ci - 1) % 2, ci - 1).start()
+            chunk_dma(nxt % NBUF, nxt).start()
 
-        chunk_dma(ci % 2, ci).wait()
-        chunk = chunk_buf[ci % 2]        # (NCH, CS)
+        chunk_dma(ci % NBUF, ci).wait()
+        chunk = chunk_buf[ci % NBUF]     # (NCH, CS)
         active = ci < stop               # forward actually composited this chunk
 
         alpha, unclamped, (mx, my, a, b, c, op) = chunk_alpha(
@@ -194,30 +206,36 @@ def _bwd_kernel(
         dchunk = jnp.where(row < 6, dgeom, ddirect)
         dchunk = jnp.where(active, dchunk, 0.0)
 
-        # Boundary chunk: preserve the previous tile's lanes (the TPU grid is
-        # sequential, so its write has completed).
+        # Write path: double-buffered slots so the HBM store overlaps the
+        # next chunk's compute. Before reusing a slot, consume the completion
+        # of the write issued on it two chunks ago (same transfer shape, so
+        # the wait size matches).
+        slot = ci % 2
+
+        @pl.when(ci + 2 < n_chunks)
+        def _():
+            out_dma(slot, ci + 2).wait()
+
+        # Boundary chunk: preserve the previous tile's lanes. Its own writes
+        # were fully drained before that program ended, and this tile's
+        # in-flight writes (chunks > 0) never touch the base window, so the
+        # read-modify-write is race-free.
         @pl.when(ci == 0)
         def _():
             rmw = pltpu.make_async_copy(
                 dpayload_ref.at[:, pl.ds(pl.multiple_of(base, cs), cs)],
-                out_buf, out_sem.at[0],
+                out_buf.at[slot], out_sems.at[slot],
             )
             rmw.start()
             rmw.wait()
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + base
-            out_buf[...] = jnp.where(lane < start, out_buf[...], dchunk)
+            out_buf[slot] = jnp.where(lane < start, out_buf[slot], dchunk)
 
         @pl.when(ci > 0)
         def _():
-            out_buf[...] = dchunk
+            out_buf[slot] = dchunk
 
-        wr = pltpu.make_async_copy(
-            out_buf,
-            dpayload_ref.at[:, pl.ds(pl.multiple_of(base + ci * cs, cs), cs)],
-            out_sem.at[0],
-        )
-        wr.start()
-        wr.wait()
+        out_dma(slot, ci).start()
 
         new_log_t = jnp.where(active, log_t_start, log_t_end)
         new_dlog_t = jnp.where(
@@ -230,6 +248,14 @@ def _bwd_kernel(
     log_t_final = fwd_ref[0, OUT_LOGT : OUT_LOGT + 1, :].T     # (PX, 1)
     dlog_t_init = cot[:, 3:4]
     jax.lax.fori_loop(0, n_chunks, body, (log_t_final, dlog_t_init))
+
+    # Drain the in-flight writes of the final two chunks (ci = 0 and 1)
+    # before this program ends: the next tile's boundary read-modify-write
+    # may touch the shared window.
+    for s in range(2):
+        @pl.when(s < n_chunks)
+        def _(s=s):
+            out_dma(s, s).wait()
 
 
 def rasterize_backward(
@@ -270,10 +296,10 @@ def rasterize_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((NBUF, NCH, cfg.chunk_size), jnp.float32),
             pltpu.VMEM((2, NCH, cfg.chunk_size), jnp.float32),
-            pltpu.VMEM((NCH, cfg.chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
 

@@ -48,6 +48,11 @@ NCH = 16
 OUT_R, OUT_G, OUT_B, OUT_LOGT, OUT_WSUM, OUT_DEPTH, OUT_STOP = range(7)
 NOUT = 8
 
+# Chunk-DMA ring depth (slots in the VMEM read buffer; NBUF-1 transfers stay
+# in flight). 8-16KB chunk reads are HBM-latency-bound: two slots leave the
+# MXU waiting on the round trip, four hide it behind compute.
+NBUF = 4
+
 
 def pixel_basis(tile_size: int) -> jax.Array:
     """(PX, 8) polynomial basis over tile-local pixel coordinates."""

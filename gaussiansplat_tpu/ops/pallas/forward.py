@@ -36,6 +36,7 @@ from .common import (
     CH_G,
     CH_ONE,
     CH_R,
+    NBUF,
     NCH,
     NOUT,
     OUT_LOGT,
@@ -88,9 +89,14 @@ def _fwd_kernel(
             sems.at[slot],
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        chunk_dma(0, 0).start()
+    # NBUF-deep DMA ring: each 8-16KB chunk transfer is latency-bound, so two
+    # slots (classic double buffering) leave the MXU waiting; keeping NBUF-1
+    # transfers in flight hides the round trip behind several chunks of
+    # compute.
+    for o in range(NBUF - 1):
+        @pl.when(o < n_chunks)
+        def _(o=o):
+            chunk_dma(o, o).start()
 
     def cond(carry):
         ci, acc, log_t, alive = carry
@@ -99,12 +105,13 @@ def _fwd_kernel(
     def body(carry):
         ci, acc, log_t, alive = carry
 
-        @pl.when(ci + 1 < n_chunks)
+        nxt = ci + NBUF - 1
+        @pl.when(nxt < n_chunks)
         def _():
-            chunk_dma((ci + 1) % 2, ci + 1).start()
+            chunk_dma(nxt % NBUF, nxt).start()
 
-        chunk_dma(ci % 2, ci).wait()
-        chunk = chunk_buf[ci % 2]      # (NCH, CS)
+        chunk_dma(ci % NBUF, ci).wait()
+        chunk = chunk_buf[ci % NBUF]   # (NCH, CS)
 
         alpha, _, _ = chunk_alpha(
             basis, chunk, ox, oy, base + ci * cs, start, end,
@@ -135,12 +142,13 @@ def _fwd_kernel(
     )
     ci, acc, log_t, _ = jax.lax.while_loop(cond, body, init)
 
-    # Early exit leaves the next chunk's DMA in flight (body ci-1 prefetched
-    # chunk ci before the transmittance test stopped the loop). Drain it, or
-    # the dangling semaphore corrupts the next grid step's first wait.
-    @pl.when(ci < n_chunks)
-    def _():
-        chunk_dma(ci % 2, ci).wait()
+    # Early exit leaves up to NBUF-1 chunk DMAs in flight (chunks
+    # ci .. min(ci+NBUF-2, n_chunks-1) were started but never awaited). Drain
+    # them, or the dangling semaphores corrupt the next grid step's waits.
+    for o in range(NBUF - 1):
+        @pl.when(ci + o < n_chunks)
+        def _(o=o):
+            chunk_dma((ci + o) % NBUF, ci + o).wait()
 
     # The stop-chunk counter rides a spare row of the output block (Mosaic
     # rejects tiny scalar output blocks); exact as f32 for any real count.
@@ -193,8 +201,8 @@ def rasterize_forward(
         out_specs=pl.BlockSpec((1, NOUT, px), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, cfg.chunk_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, NCH, cfg.chunk_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 

@@ -26,7 +26,7 @@ from flax import struct
 
 from ..config import RasterConfig
 from .camera import Camera
-from .quaternion import build_covariance_3d
+from .quaternion import normalize, quat_to_rotmat
 from .sh import eval_sh
 
 
@@ -69,36 +69,39 @@ def project_gaussians(
     v = camera.fy * ty / tz_safe + camera.cy
     mean2d = jnp.stack([u, v], axis=-1)
 
-    # --- 3D covariance (reference: tValues, projection.jl:126-142) ---
+    # --- 3D covariance factor M = R diag(s): Sigma3d = M M^T (reference:
+    # tValues, projection.jl:126-142), kept factored so the 2D projection
+    # below is three (N,3) dot products instead of batched 3x3 matmuls ---
     scales = jnp.exp(log_scales.astype(f32))
-    cov3d = build_covariance_3d(quats.astype(f32), scales)  # (N, 3, 3)
+    R = quat_to_rotmat(normalize(quats.astype(f32)))  # (N, 3, 3) elementwise
+    M = R * scales[:, None, :]
 
     # --- EWA Jacobian with frustum clamping (gsplat-standard) ---
+    # T = J @ W : (N, 2, 3) — W is the CAMERA rotation, NOT the gaussian's R
+    # (see module docstring re. the reference's projection.jl:144 deviation).
+    # J is sparse ([fx/z, 0, -fx*x/z^2; 0, fy/z, -fy*y/z^2]), so T's rows are
+    # closed-form combinations of W's rows; everything below is elementwise
+    # VPU math over N — no batched tiny matmuls, which dominate frame time
+    # when dispatched to the MXU one gaussian at a time.
     tan_fovx, tan_fovy = camera.tan_half_fov()
     lim_x = 1.3 * tan_fovx
     lim_y = 1.3 * tan_fovy
     txz = jnp.clip(tx / tz_safe, -lim_x, lim_x)
     tyz = jnp.clip(ty / tz_safe, -lim_y, lim_y)
     inv_z = 1.0 / tz_safe
-    zeros = jnp.zeros_like(tz)
-    # J: (N, 2, 3)
-    J = jnp.stack(
-        [
-            jnp.stack([camera.fx * inv_z, zeros, -camera.fx * txz * inv_z], axis=-1),
-            jnp.stack([zeros, camera.fy * inv_z, -camera.fy * tyz * inv_z], axis=-1),
-        ],
-        axis=-2,
-    )
-    # T = J @ W (camera rotation) : (N, 2, 3). NOT J @ R_gaussian — see module
-    # docstring re. the reference's projection.jl:144 deviation.
-    T = jnp.einsum("nij,jk->nik", J, camera.R,
-                   precision=jax.lax.Precision.HIGHEST)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", T, cov3d, T,
-                       precision=jax.lax.Precision.HIGHEST)  # (N, 2, 2)
-
-    a = cov2d[:, 0, 0] + cfg.cov2d_dilation
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + cfg.cov2d_dilation
+    W = camera.R  # (3, 3) constant
+    # t0 = fx/z * W[0,:] - fx*txz/z * W[2,:]; t1 likewise with fy/W[1,:].
+    t0 = (camera.fx * inv_z)[:, None] * W[0][None, :] \
+        - (camera.fx * txz * inv_z)[:, None] * W[2][None, :]   # (N, 3)
+    t1 = (camera.fy * inv_z)[:, None] * W[1][None, :] \
+        - (camera.fy * tyz * inv_z)[:, None] * W[2][None, :]   # (N, 3)
+    # cov2d entries via the factored form: t^T (M M^T) t' = (M^T t)·(M^T t'),
+    # with (M^T t)_j = sum_i M[i, j] t_i.
+    u0 = jnp.sum(M * t0[:, :, None], axis=1)  # (N, 3)
+    u1 = jnp.sum(M * t1[:, :, None], axis=1)
+    a = jnp.sum(u0 * u0, axis=-1) + cfg.cov2d_dilation
+    b = jnp.sum(u0 * u1, axis=-1)
+    c = jnp.sum(u1 * u1, axis=-1) + cfg.cov2d_dilation
 
     # --- inverse + bounding radius (cov2d.jl:30-45, boundingbox.jl:4-36) ---
     det = a * c - b * b

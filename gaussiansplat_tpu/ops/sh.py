@@ -86,8 +86,10 @@ def eval_sh(sh: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
     k = num_sh_coeffs(degree)
     d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     basis = sh_basis(d, degree)  # (..., k)
-    rgb = jnp.einsum("...k,...kc->...c", basis, sh[..., :k, :],
-                     precision=jax.lax.Precision.HIGHEST) + 0.5
+    # Elementwise broadcast-multiply + reduce instead of a batched (1,k)@(k,3)
+    # dot_general: k is tiny, so this stays on the VPU with no MXU dispatch
+    # per gaussian.
+    rgb = jnp.sum(basis[..., :, None] * sh[..., :k, :], axis=-2) + 0.5
     return jnp.maximum(rgb, 0.0)
 
 

@@ -163,7 +163,7 @@ def render_gauss_sharded_strip(
             4 * cfg.chunk_size,
         ),
     )
-    sorted_payload = flat[binning.sorted_ids]
+    sorted_payload = binning.gather_payload(flat)
     out = rasterize_tiles_xla(
         sorted_payload, binning.tile_starts, background,
         camera.width, camera.height, cfg, max_chunks=xla_max_chunks,

@@ -56,7 +56,7 @@ def render_strip(
         tile_row0=tile_row0, tile_rows=tile_rows, capacity=pair_capacity,
     )
     payload = make_payload(proj)
-    sorted_payload = payload[binning.sorted_ids]
+    sorted_payload = binning.gather_payload(payload)
     out = rasterize_tiles_xla(
         sorted_payload, binning.tile_starts, background,
         camera.width, camera.height, cfg, max_chunks=xla_max_chunks,
