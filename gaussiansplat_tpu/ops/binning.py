@@ -25,10 +25,12 @@ Everything is integer/order data: gradients never flow through this module
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..config import RasterConfig
@@ -75,7 +77,9 @@ class TileBinning:
     index). Use `gather_payload` / `sorted_ids` rather than indexing
     manually: the two-stage gather (reorder N rows once, then gather P pairs
     from the small reordered table) is ~2x cheaper than a fused P-sized
-    gather through the composed index map.
+    gather through the composed index map, and `gather_payload` carries a
+    custom VJP that reduces pair gradients per gaussian WITHOUT an XLA
+    scatter (~110ns/index on TPU; see ops/pallas/segreduce.py).
     """
 
     sorted_ranks: jax.Array  # (P,) int32 depth-rank per pair (garbage past num_pairs)
@@ -84,6 +88,8 @@ class TileBinning:
     tile_starts: jax.Array   # (num_tiles + 1,) int32 segment offsets into the sorted list
     num_pairs: jax.Array     # () int32 valid pairs actually binned (<= capacity)
     overflow: jax.Array      # () int32 pairs dropped because capacity was exceeded
+    sorted_pos: jax.Array    # (P,) int32 pre-sort pair position per sorted slot
+    seg_offsets: jax.Array   # (N + 1,) int32 pre-sort segment start per depth rank
 
     @property
     def capacity(self) -> int:
@@ -95,9 +101,107 @@ class TileBinning:
         prefer gather_payload on hot paths)."""
         return self.depth_order[self.sorted_ranks]
 
-    def gather_payload(self, payload: jax.Array) -> jax.Array:
-        """Gather per-gaussian payload rows into sorted pair order."""
-        return payload[self.depth_order][self.sorted_ranks]
+    def gather_payload(self, payload: jax.Array, impl: str = "auto") -> jax.Array:
+        """Gather per-gaussian payload rows into sorted pair order.
+
+        Differentiable: the VJP sums each gaussian's per-pair gradient rows
+        deterministically via sort + contiguous-segment reduction instead of
+        XLA scatter-add (which costs more than the whole rasterizer at
+        4M pairs — benchmarks/micro_sortgather.py).
+        """
+        return _gather_sorted(
+            _resolve_reduce_impl(impl),
+            payload,
+            dict(
+                sorted_ranks=self.sorted_ranks,
+                depth_order=self.depth_order,
+                sorted_pos=self.sorted_pos,
+                seg_offsets=self.seg_offsets,
+                num_pairs=self.num_pairs,
+            ),
+        )
+
+
+def _resolve_reduce_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def reduce_pair_grads(
+    dsorted: jax.Array,      # (P, NCH) per-pair cotangents, sorted pair order
+    sorted_ranks: jax.Array,  # (P,) int32
+    depth_order: jax.Array,  # (N,) int32
+    sorted_pos: jax.Array,   # (P,) int32
+    seg_offsets: jax.Array,  # (N + 1,) int32
+    num_pairs: jax.Array,    # () int32
+    impl: str,
+) -> jax.Array:
+    """Deterministic per-gaussian reduction of per-pair gradient rows.
+
+    The pallas path un-permutes the rows to pre-sort order (one key sort for
+    the inverse permutation + one gather), where each gaussian's pairs are
+    contiguous, then runs the MXU segment-reduce kernel. The xla path is an
+    independent formulation (unsorted segment_sum) used on CPU and as the
+    cross-check oracle in tests. Both avoid `.at[].add` entirely.
+    """
+    p, nch = dsorted.shape
+    n = depth_order.shape[0]
+    iota = jnp.arange(p, dtype=jnp.int32)
+
+    if impl in ("pallas", "pallas_interpret") and nch == 16:
+        from .pallas.segreduce import SEG_C, segment_reduce_pairs
+
+        inv = jax.lax.sort((sorted_pos, iota), num_keys=1)[1]
+        dpre = dsorted[inv]  # pre-sort order: contiguous per depth rank
+        dpre = jnp.where((iota < num_pairs)[:, None], dpre, 0.0)
+        dpre_t = jnp.concatenate(
+            [dpre.T, jnp.zeros((nch, SEG_C), dpre.dtype)], axis=1
+        )
+        dpay_rank = segment_reduce_pairs(
+            dpre_t, seg_offsets, n, interpret=(impl == "pallas_interpret")
+        )
+    else:
+        valid = (iota < num_pairs)[:, None]
+        dpay_rank = jax.ops.segment_sum(
+            jnp.where(valid, dsorted, 0.0), sorted_ranks, num_segments=n
+        )
+
+    # depth-rank space -> original gaussian order via the inverse permutation
+    # of the depth sort (computed as a sort, never a scatter).
+    rank_of = jax.lax.sort(
+        (depth_order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )[1]
+    return dpay_rank[rank_of]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_sorted(impl: str, payload: jax.Array, b: dict):
+    del impl
+    return payload[b["depth_order"]][b["sorted_ranks"]]
+
+
+def _gather_sorted_fwd(impl, payload, b):
+    return _gather_sorted(impl, payload, b), b
+
+
+def _gather_sorted_bwd(impl, b, dsorted):
+    dpayload = reduce_pair_grads(
+        dsorted,
+        b["sorted_ranks"],
+        b["depth_order"],
+        b["sorted_pos"],
+        b["seg_offsets"],
+        b["num_pairs"],
+        impl,
+    )
+    zeros = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), b
+    )
+    return dpayload, zeros
+
+
+_gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
 
 
 def bin_gaussians(
@@ -201,11 +305,12 @@ def bin_gaussians(
     rank_bits = max(int(n - 1).bit_length(), 1) if n > 1 else 1
     if tile_bits + rank_bits <= 31:
         key = (tile_id << rank_bits) | ids_o
-        sorted_key, sorted_ids_o = jax.lax.sort((key, ids_o), num_keys=1)
+        sorted_key, sorted_pos = jax.lax.sort((key, pos), num_keys=1)
         sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
+        sorted_ids_o = sorted_key & ((1 << rank_bits) - 1)
     else:
-        sorted_tiles, sorted_ids_o = jax.lax.sort(
-            (tile_id, ids_o), num_keys=1, is_stable=True
+        sorted_tiles, sorted_ids_o, sorted_pos = jax.lax.sort(
+            (tile_id, ids_o, pos), num_keys=1, is_stable=True
         )
 
     tile_starts = jnp.searchsorted(
@@ -214,11 +319,14 @@ def bin_gaussians(
         side="left",
     ).astype(jnp.int32)
 
+    num_pairs = jnp.minimum(total, capacity).astype(jnp.int32)
     return TileBinning(
         sorted_ranks=sorted_ids_o,
         depth_order=order,
         sorted_tiles=sorted_tiles,
         tile_starts=tile_starts,
-        num_pairs=jnp.minimum(total, capacity).astype(jnp.int32),
+        num_pairs=num_pairs,
         overflow=overflow.astype(jnp.int32),
+        sorted_pos=sorted_pos,
+        seg_offsets=jnp.concatenate([off_c, num_pairs[None]]),
     )

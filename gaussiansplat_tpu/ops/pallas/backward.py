@@ -70,6 +70,7 @@ def _bwd_kernel(
     # scratch
     chunk_buf,         # (NBUF, NCH, CS) VMEM read ring
     out_buf,           # (2, NCH, CS) VMEM write double buffer
+    zero_buf,          # (NCH, CS) VMEM constant-zero block (tail fill)
     in_sems,           # (NBUF,) DMA sems
     out_sems,          # (2,) DMA sems
     *,
@@ -90,6 +91,12 @@ def _bwd_kernel(
     base = pl.multiple_of((start // cs) * cs, cs)
     n_chunks = (end - base + cs - 1) // cs
     stop = stops_ref[t]
+    # Chunks >= stop were never composited by the (early-exiting) forward:
+    # their gradients are zero by construction, so they are filled by pure
+    # zero DMAs with no payload read and no compute. Chunk 0 always runs the
+    # compute path because its aligned window can overlap the previous
+    # tile's segment and needs the read-modify-write boundary handling.
+    n_live = jnp.maximum(jnp.minimum(stop, n_chunks), jnp.minimum(n_chunks, 1))
 
     ox = ((t % tiles_x) * tile_size).astype(jnp.float32)
     oy = ((t // tiles_x) * tile_size).astype(jnp.float32)
@@ -126,16 +133,45 @@ def _bwd_kernel(
             out_sems.at[slot],
         )
 
+    # Zero-fill the dead tail [n_live, n_chunks) with alternating DMAs from
+    # the constant-zero block; drained before the compute loop reuses the
+    # two out_sems slots. Windows are chunk-aligned and distinct per chunk,
+    # so these writes are disjoint from the live chunks' writes below.
+    zero_buf[...] = jnp.zeros((zero_buf.shape[0], cs), jnp.float32)
+    n_dead = n_chunks - n_live
+
+    def zero_body(j, _):
+        slot = j % 2
+
+        @pl.when(j >= 2)
+        def _():
+            out_dma(slot, 0).wait()
+
+        pltpu.make_async_copy(
+            zero_buf,
+            dpayload_ref.at[:, pl.ds(
+                pl.multiple_of(base + (n_live + j) * cs, cs), cs)],
+            out_sems.at[slot],
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_dead, zero_body, 0)
+    # At most one DMA is outstanding per slot; slot s was used iff s < n_dead.
+    for s in range(2):
+        @pl.when(s < n_dead)
+        def _(s=s):
+            out_dma(s, 0).wait()
+
     # Reverse-direction NBUF-deep read ring (see forward.py: 8-16KB chunk
-    # DMAs are latency-bound; keep several in flight).
+    # DMAs are latency-bound; keep several in flight) over live chunks only.
     for o in range(NBUF - 1):
-        @pl.when(o < n_chunks)
+        @pl.when(o < n_live)
         def _(o=o):
-            chunk_dma((n_chunks - 1 - o) % NBUF, n_chunks - 1 - o).start()
+            chunk_dma((n_live - 1 - o) % NBUF, n_live - 1 - o).start()
 
     def body(j, carry):
         log_t_end, dlog_t_end = carry
-        ci = n_chunks - 1 - j
+        ci = n_live - 1 - j
 
         nxt = ci - (NBUF - 1)
         @pl.when(nxt >= 0)
@@ -212,7 +248,7 @@ def _bwd_kernel(
         # the wait size matches).
         slot = ci % 2
 
-        @pl.when(ci + 2 < n_chunks)
+        @pl.when(ci + 2 < n_live)
         def _():
             out_dma(slot, ci + 2).wait()
 
@@ -247,13 +283,13 @@ def _bwd_kernel(
 
     log_t_final = fwd_ref[0, OUT_LOGT : OUT_LOGT + 1, :].T     # (PX, 1)
     dlog_t_init = cot[:, 3:4]
-    jax.lax.fori_loop(0, n_chunks, body, (log_t_final, dlog_t_init))
+    jax.lax.fori_loop(0, n_live, body, (log_t_final, dlog_t_init))
 
     # Drain the in-flight writes of the final two chunks (ci = 0 and 1)
     # before this program ends: the next tile's boundary read-modify-write
     # may touch the shared window.
     for s in range(2):
-        @pl.when(s < n_chunks)
+        @pl.when(s < n_live)
         def _(s=s):
             out_dma(s, s).wait()
 
@@ -298,6 +334,7 @@ def rasterize_backward(
         scratch_shapes=[
             pltpu.VMEM((NBUF, NCH, cfg.chunk_size), jnp.float32),
             pltpu.VMEM((2, NCH, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((NCH, cfg.chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

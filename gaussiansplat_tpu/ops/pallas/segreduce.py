@@ -1,0 +1,154 @@
+"""Pallas TPU segment reduction for the payload-gather VJP.
+
+The rasterizer's backward produces one 16-channel gradient row per (tile,
+gaussian) pair; training needs them summed per gaussian. The reference does
+this with `CUDA.@atomic` scatters (`splat.jl:353-380`) — nondeterministic and
+unavailable on TPU. XLA's scatter-add costs ~110ns per index on TPU
+(benchmarks/micro_sortgather.py: ~440ms for 4M pairs — half the train step),
+so neither is acceptable.
+
+Instead we exploit how pairs are *generated* (ops/binning.py): in pre-sort
+order the pair list is partitioned into contiguous segments, one per
+depth-rank, with boundaries `seg_offsets`. After un-permuting pair gradients
+back to pre-sort order (a cheap sort + gather — see binning.scatter_pair_grads),
+the reduction is a contiguous segment sum, which this kernel evaluates as an
+MXU matmul: for a block of G consecutive ranks, the (C pairs x G ranks)
+membership one-hot is built from two vector compares against the segment
+boundary offsets, and `chunk (NCH, C) @ onehot (C, G)` accumulates every
+channel of every rank at once. Deterministic (fixed reduction order), exact
+(one-hot operand is exact in bf16, so HIGH-precision f32 passes lose
+nothing), and ~100x cheaper than the XLA scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import NBUF, NCH
+
+# Ranks (gaussians) reduced per grid program, and pairs streamed per chunk.
+SEG_G = 512
+SEG_C = 512
+# Lane-padded width of the per-block boundary window (needs G + 1 values).
+SEG_WIN = SEG_G + 128
+
+
+def _segreduce_kernel(
+    # scalar prefetch
+    off_blocks_ref,    # (NB + 1,) i32 SMEM: pair range per rank block
+    # inputs
+    dpre_ref,          # (NCH, Ppad) f32 HBM: pair grads in PRE-SORT order
+    off_win_ref,       # (1, SEG_WIN) i32 VMEM: seg_offsets[bG .. bG+G] window
+    # output
+    out_ref,           # (NCH, SEG_G) f32 VMEM: per-rank sums for this block
+    # scratch
+    chunk_buf,         # (NBUF, NCH, SEG_C) f32 VMEM ring
+    sems,              # (NBUF,) DMA semaphores
+):
+    b = pl.program_id(0)
+    c = SEG_C
+
+    s = off_blocks_ref[b]
+    e = off_blocks_ref[b + 1]
+    base = pl.multiple_of((s // c) * c, c)
+    n_chunks = (e - base + c - 1) // c
+
+    lo = off_win_ref[:, 0:SEG_G]                     # (1, G) segment starts
+    hi = off_win_ref[:, 1 : SEG_G + 1]               # (1, G) segment ends
+
+    def chunk_dma(slot, ci):
+        return pltpu.make_async_copy(
+            dpre_ref.at[:, pl.ds(pl.multiple_of(base + ci * c, c), c)],
+            chunk_buf.at[slot],
+            sems.at[slot],
+        )
+
+    for o in range(NBUF - 1):
+        @pl.when(o < n_chunks)
+        def _(o=o):
+            chunk_dma(o, o).start()
+
+    def body(ci, acc):
+        nxt = ci + NBUF - 1
+        @pl.when(nxt < n_chunks)
+        def _():
+            chunk_dma(nxt % NBUF, nxt).start()
+
+        chunk_dma(ci % NBUF, ci).wait()
+        chunk = chunk_buf[ci % NBUF]                 # (NCH, C)
+
+        # Membership one-hot from the segment boundaries: pair p belongs to
+        # rank r iff off[r] <= p < off[r+1]. Pairs outside this block's rank
+        # range fail every interval test, so shared boundary chunks are
+        # counted exactly once across adjacent programs.
+        pg = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) + (base + ci * c)
+        onehot = ((pg >= lo) & (pg < hi)).astype(jnp.float32)   # (C, G)
+
+        # (Mosaic only lowers DEFAULT/HIGHEST; DEFAULT would round chunk to
+        # one bf16 pass. The matmul is ~40 GMAC total — precision is free.)
+        return acc + jax.lax.dot_general(
+            chunk, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((NCH, SEG_G), jnp.float32)
+    )
+    out_ref[...] = acc
+
+
+def segment_reduce_pairs(
+    dpre_t: jax.Array,        # (NCH, Ppad) f32, pairs in pre-sort order
+    seg_offsets: jax.Array,   # (N + 1,) i32 segment starts (last = num_pairs)
+    n: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sum 16-channel pair gradients per depth rank. Returns (n, NCH)."""
+    nb = -(-n // SEG_G)
+    ranks = jnp.minimum(
+        jnp.arange(nb + 1, dtype=jnp.int32) * SEG_G, n
+    )
+    off_blocks = seg_offsets[ranks]
+    win = jnp.minimum(
+        jnp.arange(nb, dtype=jnp.int32)[:, None] * SEG_G
+        + jnp.arange(SEG_WIN, dtype=jnp.int32)[None, :],
+        n,
+    )
+    # (NB, 1, WIN): the singleton axis keeps the trailing block dims equal to
+    # the array dims, which the Mosaic block-shape rules require here.
+    off_win = seg_offsets[win][:, None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, SEG_WIN), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NCH, SEG_G), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, NCH, SEG_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+
+    def squeeze_kernel(off_ref, dpre_ref, win_ref, out_ref, chunk_buf, sems):
+        _segreduce_kernel(off_ref, dpre_ref, win_ref.at[0], out_ref.at[0],
+                          chunk_buf, sems)
+
+    out = pl.pallas_call(
+        squeeze_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, NCH, SEG_G), jnp.float32),
+        interpret=interpret,
+    )(off_blocks, dpre_t, off_win)
+    return out.transpose(0, 2, 1).reshape(nb * SEG_G, NCH)[:n]

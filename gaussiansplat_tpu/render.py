@@ -83,7 +83,7 @@ def render(
 
     binning = bin_gaussians(proj, camera.width, camera.height, cfg)
     payload = make_payload(proj)
-    sorted_payload = binning.gather_payload(payload)
+    sorted_payload = binning.gather_payload(payload, impl=impl)
 
     if impl == "xla":
         out = rasterize_tiles_xla(
