@@ -267,28 +267,43 @@ def bin_gaussians(
     # telescoping sum since intermediate values are always a real descriptor,
     # never a partial field. (x64 is disabled, so no i64 mega-pack.)
     off_c = jnp.minimum(offsets, capacity).astype(jnp.int32)
-    xy = (xmin.astype(jnp.int32) << 14) | ymin.astype(jnp.int32)
-    d_off = jnp.diff(off_c, prepend=0)
-    d_xy = jnp.diff(xy, prepend=0)
-    d_tw = jnp.diff(tw, prepend=0)
     # Scatter at segment starts; empty segments share a start with their
     # successor and their deltas accumulate — telescoping keeps the sum
     # equal to the OWNING (last) gaussian's descriptor. Out-of-capacity
     # segment starts drop (their pairs are beyond the buffer anyway).
     pos32 = offsets.astype(jnp.int32)
     z32 = jnp.zeros((capacity,), jnp.int32)
+    # Bit budget for packing (xmin | ymin | tw) into ONE delta-cumsum stream
+    # (each P-sized cumsum is ~8ms at 4M pairs; the pack drops one cumsum
+    # and one scatter vs separate xy/tw streams).
+    bx = max(int(tiles_x).bit_length(), 1)
+    by = max(int(tile_rows).bit_length(), 1)
+    bw = bx
+    if bx + by + bw <= 31:
+        xyw = (
+            ((xmin.astype(jnp.int32) << by) | ymin.astype(jnp.int32)) << bw
+        ) | tw.astype(jnp.int32)
+        d_xyw = jnp.diff(xyw, prepend=0)
+        seg_xyw = z32.at[pos32].add(d_xyw, mode="drop")
+        xyw_p = jnp.cumsum(seg_xyw)
+        xm = xyw_p >> (by + bw)
+        ym = (xyw_p >> bw) & ((1 << by) - 1)
+        tw_p = xyw_p & ((1 << bw) - 1)
+    else:  # enormous tile grids: fall back to two packed streams
+        xy = (xmin.astype(jnp.int32) << 14) | ymin.astype(jnp.int32)
+        seg_xy = z32.at[pos32].add(jnp.diff(xy, prepend=0), mode="drop")
+        seg_tw = z32.at[pos32].add(jnp.diff(tw, prepend=0), mode="drop")
+        xy_p = jnp.cumsum(seg_xy)
+        tw_p = jnp.cumsum(seg_tw)
+        xm = (xy_p >> 14) & 0x3FFF
+        ym = xy_p & 0x3FFF
+    d_off = jnp.diff(off_c, prepend=0)
     seg_off = z32.at[pos32].add(d_off, mode="drop")
-    seg_xy = z32.at[pos32].add(d_xy, mode="drop")
-    seg_tw = z32.at[pos32].add(d_tw, mode="drop")
     seg_one = z32.at[pos32].add(jnp.ones((n,), jnp.int32), mode="drop")
     off_p = jnp.cumsum(seg_off)
-    xy_p = jnp.cumsum(seg_xy)
-    tw_p = jnp.cumsum(seg_tw)
     ids_o = jnp.cumsum(seg_one) - 1                 # depth rank per pair
 
     pos = jnp.arange(capacity, dtype=jnp.int32)
-    xm = (xy_p >> 14) & 0x3FFF
-    ym = xy_p & 0x3FFF
     k = pos - off_p
     tw_safe = jnp.maximum(tw_p, 1)
     tile_x = xm + k % tw_safe

@@ -52,6 +52,7 @@ from .common import (
     OUT_LOGT,
     chunk_alpha,
     pixel_basis,
+    tri_dot_split,
     tri_incl,
     tri_suffix_strict,
 )
@@ -187,8 +188,7 @@ def _bwd_kernel(
             alpha_min, alpha_max,
         )
         ell = jnp.log1p(-alpha)
-        s_incl = jnp.dot(ell, tri, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+        s_incl = tri_dot_split(ell, tri)
         s_excl = s_incl - ell
         log_t_start = log_t_end - s_incl[:, cs - 1 : cs]
         t_in = jnp.exp(s_excl + log_t_start)
@@ -201,8 +201,7 @@ def _bwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )                                # (PX, CS)
         d_se = dw * w
-        d_ell = jnp.dot(d_se, tri_suf, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+        d_ell = tri_dot_split(d_se, tri_suf)
         d_ell = d_ell + dlog_t_end
         dalpha = dw * t_in - d_ell / (1.0 - alpha)
         dalpha = jnp.where(unclamped, dalpha, 0.0)

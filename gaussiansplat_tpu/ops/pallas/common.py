@@ -81,6 +81,23 @@ def tri_suffix_strict(cs: int) -> jax.Array:
     return (c < r).astype(jnp.float32)
 
 
+def tri_dot_split(x: jax.Array, tri: jax.Array) -> jax.Array:
+    """x @ tri with x split into two bf16 passes (Dekker-style hi/lo).
+
+    The triangular ones matrix is exact in bf16, so only x needs splitting:
+    hi = bf16(x) and lo = bf16(x - hi) reconstruct ~16 mantissa bits, and
+    the MXU accumulates in f32. Two bf16 passes vs HIGHEST's six — this is
+    the dominant matmul of both raster kernels (PX x CS x CS). (Measured
+    alternative: log2(CS) masked pltpu.roll lane-scans on the VPU are
+    SLOWER than the HIGHEST matmul at CS=128 — lane rotates are expensive.)
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    t16 = tri.astype(jnp.bfloat16)
+    out = jnp.dot(hi, t16, preferred_element_type=jnp.float32)
+    return out + jnp.dot(lo, t16, preferred_element_type=jnp.float32)
+
+
 def quad_coeff_matrix(chunk: jax.Array, ox: jax.Array, oy: jax.Array) -> tuple:
     """Per-gaussian quadratic coefficients Q (8, CS) s.t. basis @ Q = q, plus
     the tile-local means and conic rows used again by the backward pass.

@@ -42,6 +42,7 @@ from .common import (
     OUT_LOGT,
     chunk_alpha,
     pixel_basis,
+    tri_dot_split,
     tri_incl,
 )
 
@@ -118,8 +119,7 @@ def _fwd_kernel(
             alpha_min, alpha_max,
         )
         ell = jnp.log1p(-alpha)                                   # (PX, CS)
-        s_incl = jnp.dot(ell, tri, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+        s_incl = tri_dot_split(ell, tri)
         s_excl = s_incl - ell
         t_in = jnp.exp(s_excl + log_t)                            # (PX, CS)
         w = alpha * t_in
