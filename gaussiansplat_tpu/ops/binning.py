@@ -212,6 +212,7 @@ def bin_gaussians(
     tile_row0=None,
     tile_rows: Optional[int] = None,
     capacity: Optional[int] = None,
+    impl: str = "auto",
 ) -> TileBinning:
     """Bin into the full tile grid, or — for tile-sharded multi-chip
     rendering (SURVEY §5 long-context analogue) — into a horizontal strip of
@@ -227,17 +228,10 @@ def bin_gaussians(
     num_tiles = tiles_x * tile_rows
     if capacity is None:
         capacity = cfg.pair_capacity(n)
+    impl = _resolve_reduce_impl(impl)
 
     mean2d = jax.lax.stop_gradient(proj.mean2d)
     depth = jax.lax.stop_gradient(proj.depth)
-
-    # Depth-presort the N gaussians once (N << P pairs), then expand pairs in
-    # that order: a single sort on tile id alone leaves every tile segment in
-    # exact front-to-back order. Packing the depth rank into the key keeps
-    # the sort single-key AND stable-equivalent (keys unique per pair) —
-    # still exact, unlike the reference, whose compaction ranks ignore its
-    # depth sort (SURVEY §2.2, compact.jl note).
-    order = jnp.argsort(depth, stable=True).astype(jnp.int32)
 
     xmin, ymin, xmax, ymax = tile_ranges(
         mean2d, proj.radius, cfg.tile_size, tiles_x, tiles_y
@@ -250,35 +244,90 @@ def bin_gaussians(
     counts = jnp.minimum(tw * th, cfg.max_tiles_per_gaussian)
     counts = jnp.where(proj.valid, counts, 0)
 
-    # Reindex per-gaussian data into depth order.
-    xmin, ymin, tw = xmin[order], ymin[order], tw[order]
-    counts = counts[order]
+    # One combined compaction + depth sort: nonempty gaussians first, by
+    # depth, ties broken by original index (keys unique -> deterministic).
+    # Among nonempty gaussians — the only ones that emit pairs — this order
+    # IS depth order, so "rank in this order" serves as the depth rank
+    # everywhere below (pair keys, seg_offsets, payload gathers). Empties
+    # compact to the tail so the expansion streams only owning descriptors
+    # (the Pallas expand kernel's window bound relies on every in-range
+    # descriptor owning >= 1 pair). The reference never achieves a per-tile
+    # depth order at all: its compaction ranks are computed in original index
+    # order (`compact.jl:3-21`, SURVEY §2.2).
+    by = max(int(tile_rows).bit_length(), 1)
+    bw = max(int(tiles_x).bit_length(), 1)
+    bx, bh = bw, by
+    rect_packable = bx + by + bw + bh <= 31
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    _, _, comp_order = jax.lax.sort(
+        ((counts == 0).astype(jnp.int32), depth, iota_n), num_keys=3
+    )
+    if rect_packable:
+        rect = ((((xmin << by) | ymin) << bw) | tw) << bh | th
+        rect = jnp.where(counts > 0, rect, 0)
+        rect_c = rect[comp_order]
+        th_c = rect_c & ((1 << bh) - 1)
+        tw_c = (rect_c >> bh) & ((1 << bw) - 1)
+        ymin_c = (rect_c >> (bh + bw)) & ((1 << by) - 1)
+        xmin_c = rect_c >> (bh + bw + by)
+        counts_c = jnp.minimum(tw_c * th_c, cfg.max_tiles_per_gaussian)
+    else:  # enormous tile grids: gather fields separately
+        rect_c = None
+        xmin_c, ymin_c, tw_c = (
+            xmin[comp_order], ymin[comp_order], tw[comp_order]
+        )
+        counts_c = counts[comp_order]
+    order = comp_order
+    xmin, ymin, tw, counts = xmin_c, ymin_c, tw_c, counts_c
 
     offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
     total = offsets[-1] + counts[-1]
     overflow = jnp.maximum(total - capacity, 0)
 
-    # Expand WITHOUT per-pair gathers (a P-sized gather from an N-sized
-    # table costs ~8x a streaming pass at this scale, and the naive form
-    # needs five of them plus jnp.repeat's searchsorted): scatter per-segment
-    # DELTAS of the per-gaussian descriptors at each segment start, then one
-    # cumsum telescopes them into "this segment's descriptor" at every pair
-    # position. (xmin:14 | ymin:14) pack into one i32 — exact under the
-    # telescoping sum since intermediate values are always a real descriptor,
-    # never a partial field. (x64 is disabled, so no i64 mega-pack.)
     off_c = jnp.minimum(offsets, capacity).astype(jnp.int32)
+    num_pairs = jnp.minimum(total, capacity).astype(jnp.int32)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    rank_bits = max(int(n - 1).bit_length(), 1) if n > 1 else 1
+    packed_keys = tile_bits + rank_bits <= 31
+    # The expand kernel emits packed keys, so it covers the packed-key regime.
+    use_pallas_expand = (
+        impl in ("pallas", "pallas_interpret")
+        and packed_keys
+        and rect_packable
+    )
+
+    if use_pallas_expand:
+        from .pallas.expand import expand_pairs_pallas
+
+        key = expand_pairs_pallas(
+            off_c, rect_c, num_pairs, capacity,
+            tiles_x, num_tiles, rank_bits, (by, bw, bh),
+            interpret=(impl == "pallas_interpret"),
+        )
+        sorted_key, sorted_pos = jax.lax.sort((key, pos), num_keys=1)
+        sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
+        sorted_ids_o = sorted_key & ((1 << rank_bits) - 1)
+        return _finish_binning(
+            sorted_ids_o, order, sorted_tiles, sorted_pos, off_c,
+            num_pairs, overflow, num_tiles,
+        )
+
+    # XLA expansion: expand WITHOUT per-pair gathers (a P-sized gather from
+    # an N-sized table costs ~8x a streaming pass at this scale, and the
+    # naive form needs five of them plus jnp.repeat's searchsorted): scatter
+    # per-segment DELTAS of the per-gaussian descriptors at each segment
+    # start, then one cumsum telescopes them into "this segment's
+    # descriptor" at every pair position — exact under the telescoping sum
+    # since intermediate values are always a real descriptor, never a
+    # partial field. (x64 is disabled, so no i64 mega-pack.)
     # Scatter at segment starts; empty segments share a start with their
     # successor and their deltas accumulate — telescoping keeps the sum
     # equal to the OWNING (last) gaussian's descriptor. Out-of-capacity
     # segment starts drop (their pairs are beyond the buffer anyway).
     pos32 = offsets.astype(jnp.int32)
     z32 = jnp.zeros((capacity,), jnp.int32)
-    # Bit budget for packing (xmin | ymin | tw) into ONE delta-cumsum stream
-    # (each P-sized cumsum is ~8ms at 4M pairs; the pack drops one cumsum
-    # and one scatter vs separate xy/tw streams).
-    bx = max(int(tiles_x).bit_length(), 1)
-    by = max(int(tile_rows).bit_length(), 1)
-    bw = bx
     if bx + by + bw <= 31:
         xyw = (
             ((xmin.astype(jnp.int32) << by) | ymin.astype(jnp.int32)) << bw
@@ -303,22 +352,19 @@ def bin_gaussians(
     off_p = jnp.cumsum(seg_off)
     ids_o = jnp.cumsum(seg_one) - 1                 # depth rank per pair
 
-    pos = jnp.arange(capacity, dtype=jnp.int32)
     k = pos - off_p
     tw_safe = jnp.maximum(tw_p, 1)
     tile_x = xm + k % tw_safe
     tile_y = ym + k // tw_safe
     # Segments tile [0, total) exactly, so k ∈ [0, counts) holds wherever
     # pos < total; only the tail needs masking.
-    in_range = pos < jnp.minimum(total, capacity)
+    in_range = pos < num_pairs
 
     tile_id = jnp.where(
         in_range, tile_y * tiles_x + tile_x, num_tiles
     ).astype(jnp.int32)
 
-    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
-    rank_bits = max(int(n - 1).bit_length(), 1) if n > 1 else 1
-    if tile_bits + rank_bits <= 31:
+    if packed_keys:
         key = (tile_id << rank_bits) | ids_o
         sorted_key, sorted_pos = jax.lax.sort((key, pos), num_keys=1)
         sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
@@ -328,13 +374,22 @@ def bin_gaussians(
             (tile_id, ids_o, pos), num_keys=1, is_stable=True
         )
 
+    return _finish_binning(
+        sorted_ids_o, order, sorted_tiles, sorted_pos, off_c,
+        num_pairs, overflow, num_tiles,
+    )
+
+
+def _finish_binning(
+    sorted_ids_o, order, sorted_tiles, sorted_pos, off_c,
+    num_pairs, overflow, num_tiles,
+) -> TileBinning:
     tile_starts = jnp.searchsorted(
         sorted_tiles,
         jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left",
     ).astype(jnp.int32)
 
-    num_pairs = jnp.minimum(total, capacity).astype(jnp.int32)
     return TileBinning(
         sorted_ranks=sorted_ids_o,
         depth_order=order,

@@ -51,6 +51,7 @@ from .common import (
     NOUT,
     OUT_LOGT,
     chunk_alpha,
+    dot_split3,
     pixel_basis,
     tri_dot_split,
     tri_incl,
@@ -194,11 +195,8 @@ def _bwd_kernel(
         t_in = jnp.exp(s_excl + log_t_start)
         w = alpha * t_in
 
-        dw = jax.lax.dot_general(
-            dacc, chunk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        dw = dot_split3(
+            dacc, chunk, (((1,), (0,)), ((), ()))
         )                                # (PX, CS)
         d_se = dw * w
         d_ell = tri_dot_split(d_se, tri_suf)
@@ -208,11 +206,8 @@ def _bwd_kernel(
         dq = -0.5 * dalpha * alpha
 
         # Moment matrix: rows sum_px dq * [x^2, y^2, xy, x, y, 1, _, _].
-        mom = jax.lax.dot_general(
-            basis, dq,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        mom = dot_split3(
+            basis, dq, (((0,), (0,)), ((), ()))
         )                                # (8, CS)
         bxx = mom[0:1]; byy = mom[1:2]; bxy = mom[2:3]
         bx = mom[3:4]; by = mom[4:5]; b1 = mom[5:6]
@@ -224,11 +219,8 @@ def _bwd_kernel(
         dop = -2.0 * b1 / jnp.maximum(op, 1e-20)
 
         # Direct (linear) channel gradients: d payload_c = sum_px dacc_c * w.
-        ddirect = jax.lax.dot_general(
-            dacc, w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        ddirect = dot_split3(
+            dacc, w, (((0,), (0,)), ((), ()))
         )                                # (NCH, CS)
         dgeom = jnp.concatenate(
             [dmx, dmy, da, db, dc, dop,

@@ -81,6 +81,30 @@ def tri_suffix_strict(cs: int) -> jax.Array:
     return (c < r).astype(jnp.float32)
 
 
+def dot_split3(a: jax.Array, b: jax.Array, dims) -> jax.Array:
+    """dot_general in 3 bf16 MXU passes (hi*hi + hi*lo + lo*hi).
+
+    The Dekker hi/lo split reconstructs ~16 mantissa bits of each operand;
+    dropping the lo*lo term loses only ~2^-16 relative — the same error
+    budget as tri_dot_split, at half the cost of HIGHEST's 6 passes. Use for
+    linear-channel ACCUMULATION matmuls (colors, gradients), not for the
+    quadratic form q, whose expanded-polynomial evaluation cancels
+    catastrophically and needs HIGHEST.
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
 def tri_dot_split(x: jax.Array, tri: jax.Array) -> jax.Array:
     """x @ tri with x split into two bf16 passes (Dekker-style hi/lo).
 

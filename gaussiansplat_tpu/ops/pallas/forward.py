@@ -41,6 +41,7 @@ from .common import (
     NOUT,
     OUT_LOGT,
     chunk_alpha,
+    dot_split3,
     pixel_basis,
     tri_dot_split,
     tri_incl,
@@ -124,12 +125,7 @@ def _fwd_kernel(
         t_in = jnp.exp(s_excl + log_t)                            # (PX, CS)
         w = alpha * t_in
         # acc_c += sum_g w * payload[c, g] for every channel c at once.
-        acc = acc + jax.lax.dot_general(
-            w, chunk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        acc = acc + dot_split3(w, chunk, (((1,), (1,)), ((), ())))
         log_t = log_t + s_incl[:, cs - 1 : cs]
         alive = jnp.max(log_t) > log_eps
         return ci + 1, acc, log_t, alive

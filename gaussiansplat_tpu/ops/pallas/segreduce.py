@@ -89,14 +89,26 @@ def _segreduce_kernel(
         pg = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) + (base + ci * c)
         onehot = ((pg >= lo) & (pg < hi)).astype(jnp.float32)   # (C, G)
 
-        # (Mosaic only lowers DEFAULT/HIGHEST; DEFAULT would round chunk to
-        # one bf16 pass. The matmul is ~40 GMAC total — precision is free.)
-        return acc + jax.lax.dot_general(
-            chunk, onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+
+        # The one-hot operand is exact in bf16, so splitting only the chunk
+        # suffices; a THREE-way split (hi/mid/lo) reconstructs the full ~24
+        # mantissa bits — gradient sums stay f32-exact per element — at half
+        # HIGHEST's 6-pass cost. (A 2-way split leaves ~2^-16 per-element
+        # quantization, which tests/test_gather_vjp.py's 1e-6 bound catches.)
+        c_hi = chunk.astype(jnp.bfloat16)
+        r = chunk - c_hi.astype(jnp.float32)
+        c_mid = r.astype(jnp.bfloat16)
+        c_lo = (r - c_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh16 = onehot.astype(jnp.bfloat16)
+
+        def d(x):
+            return jax.lax.dot_general(
+                x, oh16,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return acc + d(c_hi) + (d(c_mid) + d(c_lo))
 
     acc = jax.lax.fori_loop(
         0, n_chunks, body, jnp.zeros((NCH, SEG_G), jnp.float32)

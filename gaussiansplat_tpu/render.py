@@ -81,7 +81,7 @@ def render(
     if mean2d_offset is not None:
         proj = proj.replace(mean2d=proj.mean2d + mean2d_offset)
 
-    binning = bin_gaussians(proj, camera.width, camera.height, cfg)
+    binning = bin_gaussians(proj, camera.width, camera.height, cfg, impl=impl)
     payload = make_payload(proj)
     sorted_payload = binning.gather_payload(payload, impl=impl)
 

@@ -95,6 +95,66 @@ class TestPallasForward:
             op.image, jnp.broadcast_to(bg, op.image.shape), atol=1e-6)
 
 
+class TestPallasExpand:
+    """The pair-expansion kernel must reproduce the XLA delta-scatter
+    expansion bit-exactly: same keys, same pre-sort pair positions."""
+
+    def _proj(self, n=300, width=160, height=96, seed=3):
+        from gaussiansplat_tpu.ops.projection import project_gaussians
+
+        model, _ = setup_scene(n=n, seed=seed, width=width, height=height)
+        cam = look_at(eye=(0.5, 0.3, -6.0), target=(0, 0, 0), fx=220.0,
+                      fy=220.0, width=width, height=height)
+        proj = project_gaussians(
+            model.means, model.quats, model.log_scales,
+            model.logit_opacities, model.sh, cam, CFG, sh_degree=1,
+            alive=model.alive,
+        )
+        return proj, cam
+
+    @pytest.mark.parametrize("capacity", [None, 256], ids=["roomy", "overflow"])
+    def test_matches_xla_expansion(self, capacity):
+        from gaussiansplat_tpu.ops.binning import bin_gaussians
+
+        proj, cam = self._proj()
+        kw = dict(capacity=capacity) if capacity else {}
+        bx = jax.jit(
+            lambda p: bin_gaussians(p, cam.width, cam.height, CFG,
+                                    impl="xla", **kw))(proj)
+        bp = jax.jit(
+            lambda p: bin_gaussians(p, cam.width, cam.height, CFG,
+                                    impl="pallas_interpret", **kw))(proj)
+        assert int(bx.num_pairs) > 0
+        np.testing.assert_array_equal(bp.num_pairs, bx.num_pairs)
+        np.testing.assert_array_equal(bp.overflow, bx.overflow)
+        np.testing.assert_array_equal(bp.depth_order, bx.depth_order)
+        np.testing.assert_array_equal(bp.tile_starts, bx.tile_starts)
+        npairs = int(bx.num_pairs)
+        np.testing.assert_array_equal(
+            bp.sorted_tiles[:npairs], bx.sorted_tiles[:npairs])
+        np.testing.assert_array_equal(
+            bp.sorted_ranks[:npairs], bx.sorted_ranks[:npairs])
+        np.testing.assert_array_equal(
+            bp.sorted_pos[:npairs], bx.sorted_pos[:npairs])
+
+    def test_strip_mode(self):
+        from gaussiansplat_tpu.ops.binning import bin_gaussians
+
+        proj, cam = self._proj()
+        f = lambda p, impl: bin_gaussians(
+            p, cam.width, cam.height, CFG, tile_row0=jnp.int32(1),
+            tile_rows=2, impl=impl)
+        bx = jax.jit(lambda p: f(p, "xla"))(proj)
+        bp = jax.jit(lambda p: f(p, "pallas_interpret"))(proj)
+        assert int(bx.num_pairs) > 0
+        npairs = int(bx.num_pairs)
+        np.testing.assert_array_equal(bp.tile_starts, bx.tile_starts)
+        np.testing.assert_array_equal(
+            bp.sorted_tiles[:npairs], bx.sorted_tiles[:npairs])
+        np.testing.assert_array_equal(
+            bp.sorted_ranks[:npairs], bx.sorted_ranks[:npairs])
+
+
 class TestPallasBackward:
     @pytest.mark.parametrize(
         "cfg", [CFG_EXACT, CFG_SMALL_CHUNK_EXACT], ids=["cs128", "cs8"])
