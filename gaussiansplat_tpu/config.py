@@ -76,6 +76,14 @@ class RasterConfig:
     # CPU meshes and as the differentiable cross-check), or 'auto'.
     impl: str = "auto"
 
+    # Pallas-only: move pairs through the pipeline as 8 packed f32 lanes
+    # (mean/conic exact f32; opacity/color/depth as bf16 bit-pairs) instead
+    # of 16 — halves the sorted gather, both kernels' HBM streams, and the
+    # gradient reduction. Costs ~0.4% relative quantization on color/opacity
+    # (far below rendering/SGD noise). Set False for bit-exact parity with
+    # the XLA twin (tests, debugging).
+    packed: bool = True
+
     def pair_capacity(self, num_gaussians: int) -> int:
         cap = int(self.pairs_per_gaussian * num_gaussians)
         cap = max(cap, 4 * self.chunk_size)

@@ -175,6 +175,42 @@ def reduce_pair_grads(
     return dpay_rank[rank_of]
 
 
+def reduce_pair_grads_packed_t(
+    dsorted_t: jax.Array,    # (NCH_PACKED, P) packed per-pair cotangents,
+                             # channel-major, sorted pair order
+    sorted_ranks: jax.Array,
+    depth_order: jax.Array,
+    sorted_pos: jax.Array,
+    seg_offsets: jax.Array,
+    num_pairs: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed, channel-major twin of reduce_pair_grads (used by the fused
+    packed rasterizer): the un-permute gather moves 8 packed lanes instead of
+    16 f32 rows and no (P, NCH) transpose ever materializes. Returns (N, NCH)
+    unpacked gradients in original gaussian order."""
+    del sorted_ranks  # order comes from sorted_pos; kept for signature parity
+    from .pallas.segreduce import SEG_C, segment_reduce_pairs
+
+    nch_p, p = dsorted_t.shape
+    n = depth_order.shape[0]
+    iota = jnp.arange(p, dtype=jnp.int32)
+
+    inv = jax.lax.sort((sorted_pos, iota), num_keys=1)[1]
+    dpre_t = dsorted_t[:, inv]                   # pre-sort order, packed
+    dpre_t = jnp.where((iota < num_pairs)[None, :], dpre_t, 0.0)
+    dpre_t = jnp.concatenate(
+        [dpre_t, jnp.zeros((nch_p, SEG_C), dpre_t.dtype)], axis=1
+    )
+    dpay_rank = segment_reduce_pairs(
+        dpre_t, seg_offsets, n, interpret=interpret, packed=True
+    )
+    rank_of = jax.lax.sort(
+        (depth_order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )[1]
+    return dpay_rank[rank_of]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_sorted(impl: str, payload: jax.Array, b: dict):
     del impl

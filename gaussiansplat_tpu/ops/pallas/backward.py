@@ -48,14 +48,17 @@ from .common import (
     CH_R,
     NBUF,
     NCH,
+    NCH_PACKED,
     NOUT,
     OUT_LOGT,
     chunk_alpha,
     dot_split3,
+    pack_grad_chunk,
     pixel_basis,
     tri_dot_split,
     tri_incl,
     tri_suffix_strict,
+    unpack_payload_chunk,
 )
 
 
@@ -81,6 +84,7 @@ def _bwd_kernel(
     tiles_x: int,
     alpha_min: float,
     alpha_max: float,
+    packed: bool,
 ):
     t = pl.program_id(0)
     cs = chunk_size
@@ -181,7 +185,9 @@ def _bwd_kernel(
             chunk_dma(nxt % NBUF, nxt).start()
 
         chunk_dma(ci % NBUF, ci).wait()
-        chunk = chunk_buf[ci % NBUF]     # (NCH, CS)
+        chunk = chunk_buf[ci % NBUF]     # (NCH or NCH_PACKED, CS)
+        if packed:
+            chunk = unpack_payload_chunk(chunk)
         active = ci < stop               # forward actually composited this chunk
 
         alpha, unclamped, (mx, my, a, b, c, op) = chunk_alpha(
@@ -232,6 +238,8 @@ def _bwd_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
         dchunk = jnp.where(row < 6, dgeom, ddirect)
         dchunk = jnp.where(active, dchunk, 0.0)
+        if packed:
+            dchunk = pack_grad_chunk(dchunk)  # (NCH_PACKED, CS)
 
         # Write path: double-buffered slots so the HBM store overlaps the
         # next chunk's compute. Before reusing a slot, consume the completion
@@ -286,7 +294,7 @@ def _bwd_kernel(
 
 
 def rasterize_backward(
-    payload_t: jax.Array,     # (NCH, Ppad)
+    payload_t: jax.Array,     # (NCH or NCH_PACKED, Ppad)
     tile_starts: jax.Array,   # (T+1,)
     stops: jax.Array,         # (T,) int32
     cot_tiles: jax.Array,     # (T, NOUT, PX)
@@ -295,12 +303,16 @@ def rasterize_backward(
     height: int,
     cfg: RasterConfig,
     interpret: bool = False,
+    packed: bool = False,
 ) -> jax.Array:
-    """Returns dpayload_t (NCH, Ppad); entries never touched by any tile are
-    garbage and must be masked by the caller (entry index < num_pairs)."""
+    """Returns dpayload_t, same layout (and packing) as payload_t; entries
+    never touched by any tile are garbage and must be masked by the caller
+    (entry index < num_pairs)."""
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
     num_tiles = tiles_x * tiles_y
     px = cfg.tile_size * cfg.tile_size
+    nch_io = NCH_PACKED if packed else NCH
+    assert payload_t.shape[0] == nch_io
 
     kernel = functools.partial(
         _bwd_kernel,
@@ -309,6 +321,7 @@ def rasterize_backward(
         tiles_x=tiles_x,
         alpha_min=cfg.alpha_min,
         alpha_max=cfg.alpha_max,
+        packed=packed,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -323,9 +336,9 @@ def rasterize_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, NCH, cfg.chunk_size), jnp.float32),
-            pltpu.VMEM((2, NCH, cfg.chunk_size), jnp.float32),
-            pltpu.VMEM((NCH, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((NBUF, nch_io, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((2, nch_io, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((nch_io, cfg.chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

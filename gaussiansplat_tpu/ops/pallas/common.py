@@ -53,6 +53,112 @@ NOUT = 8
 # MXU waiting on the round trip, four hide it behind compute.
 NBUF = 4
 
+# Packed payload: 8 f32 lanes per pair instead of 16. Geometry stays exact
+# f32 (mean, conic — the quadratic form cancels catastrophically and its
+# coefficients must keep full precision); opacity/color/depth ride as
+# bit-packed bf16 pairs (~0.4% relative quantization on values in [0, ~2] —
+# far below splat-accumulation noise). Halves every P-proportional byte
+# stream: the sorted gather, both kernels' chunk DMAs, the gradient
+# write-back, and the gather-VJP's un-permute + segment reduce.
+NCH_PACKED = 8
+PK_MX, PK_MY, PK_CA, PK_CB, PK_CC, PK_OP_DEPTH, PK_R_G, PK_B_X = range(8)
+# Packed GRADIENT lanes (backward output): geometry + opacity grads exact
+# f32, color/depth grads bf16-packed. (The wsum/'one' channel has no real
+# cotangent — the raster returns only image and transmittance.)
+GK_MX, GK_MY, GK_CA, GK_CB, GK_CC, GK_OP, GK_R_G, GK_B_DEPTH = range(8)
+
+import numpy as np
+
+_HI_MASK = np.int32(-65536)           # 0xFFFF0000
+_LO_MASK = np.int32(0xFFFF)
+
+
+def pack_bf16_pair(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Round x, y to bf16 and bit-pack both into one f32 lane (x in the high
+    half). Pure int32 bit ops — Mosaic-safe inside kernels, plain XLA outside."""
+    xh = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    yh = jax.lax.bitcast_convert_type(
+        y.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    packed = (xh & _HI_MASK) | ((yh >> 16) & _LO_MASK)
+    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+
+def unpack_bf16_pair(p: jax.Array):
+    """Inverse of pack_bf16_pair: f32 lane -> (x, y) as exact-bf16 f32s."""
+    u = jax.lax.bitcast_convert_type(p, jnp.int32)
+    x = jax.lax.bitcast_convert_type(u & _HI_MASK, jnp.float32)
+    y = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return x, y
+
+
+def pack_payload_t(payload: jax.Array) -> jax.Array:
+    """(N, 16) unpacked payload rows -> (NCH_PACKED, N) channel-major packed.
+
+    Channel-major so the downstream P-sized gather indexes lanes directly and
+    no (P, NCH) transpose pass ever materializes. Zero rows pack to zero, so
+    padded/dead gaussians stay inert."""
+    pt = payload.T
+    return jnp.concatenate(
+        [
+            pt[CH_MX : CH_CC + 1, :],
+            pack_bf16_pair(pt[CH_OP : CH_OP + 1, :], pt[CH_DEPTH : CH_DEPTH + 1, :]),
+            pack_bf16_pair(pt[CH_R : CH_R + 1, :], pt[CH_G : CH_G + 1, :]),
+            pack_bf16_pair(pt[CH_B : CH_B + 1, :], jnp.zeros_like(pt[:1, :])),
+        ],
+        axis=0,
+    )
+
+
+def unpack_payload_chunk(p8: jax.Array) -> jax.Array:
+    """(NCH_PACKED, C) packed chunk -> (NCH, C) standard channel rows.
+
+    CH_ONE is synthesized (it is constant 1; out-of-segment lanes are masked
+    by chunk_alpha's in_seg gate, so its value there is irrelevant)."""
+    c = p8.shape[1]
+    op, depth = unpack_bf16_pair(p8[PK_OP_DEPTH : PK_OP_DEPTH + 1, :])
+    r, g = unpack_bf16_pair(p8[PK_R_G : PK_R_G + 1, :])
+    b, _ = unpack_bf16_pair(p8[PK_B_X : PK_B_X + 1, :])
+    return jnp.concatenate(
+        [
+            p8[PK_MX : PK_CC + 1, :],
+            op, r, g, b,
+            jnp.ones((1, c), jnp.float32),
+            depth,
+            jnp.zeros((NCH - CH_DEPTH - 1, c), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def pack_grad_chunk(d16: jax.Array) -> jax.Array:
+    """(NCH, C) gradient rows -> (NCH_PACKED, C) packed gradient rows."""
+    return jnp.concatenate(
+        [
+            d16[CH_MX : CH_OP + 1, :],
+            pack_bf16_pair(d16[CH_R : CH_R + 1, :], d16[CH_G : CH_G + 1, :]),
+            pack_bf16_pair(d16[CH_B : CH_B + 1, :], d16[CH_DEPTH : CH_DEPTH + 1, :]),
+        ],
+        axis=0,
+    )
+
+
+def unpack_grad_chunk(d8: jax.Array) -> jax.Array:
+    """Inverse of pack_grad_chunk; the CH_ONE row is zero (no cotangent)."""
+    c = d8.shape[1]
+    r, g = unpack_bf16_pair(d8[GK_R_G : GK_R_G + 1, :])
+    b, depth = unpack_bf16_pair(d8[GK_B_DEPTH : GK_B_DEPTH + 1, :])
+    return jnp.concatenate(
+        [
+            d8[GK_MX : GK_OP + 1, :],
+            r, g, b,
+            jnp.zeros((1, c), jnp.float32),
+            depth,
+            jnp.zeros((NCH - CH_DEPTH - 1, c), jnp.float32),
+        ],
+        axis=0,
+    )
+
 
 def pixel_basis(tile_size: int) -> jax.Array:
     """(PX, 8) polynomial basis over tile-local pixel coordinates."""

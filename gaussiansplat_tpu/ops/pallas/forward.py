@@ -38,6 +38,7 @@ from .common import (
     CH_R,
     NBUF,
     NCH,
+    NCH_PACKED,
     NOUT,
     OUT_LOGT,
     chunk_alpha,
@@ -45,6 +46,7 @@ from .common import (
     pixel_basis,
     tri_dot_split,
     tri_incl,
+    unpack_payload_chunk,
 )
 
 
@@ -65,6 +67,7 @@ def _fwd_kernel(
     alpha_min: float,
     alpha_max: float,
     log_eps: float,
+    packed: bool,
 ):
     t = pl.program_id(0)
     cs = chunk_size
@@ -113,7 +116,9 @@ def _fwd_kernel(
             chunk_dma(nxt % NBUF, nxt).start()
 
         chunk_dma(ci % NBUF, ci).wait()
-        chunk = chunk_buf[ci % NBUF]   # (NCH, CS)
+        chunk = chunk_buf[ci % NBUF]   # (NCH or NCH_PACKED, CS)
+        if packed:
+            chunk = unpack_payload_chunk(chunk)
 
         alpha, _, _ = chunk_alpha(
             basis, chunk, ox, oy, base + ci * cs, start, end,
@@ -166,12 +171,13 @@ def _fwd_kernel(
 
 
 def rasterize_forward(
-    payload_t: jax.Array,      # (NCH, Ppad) f32, sorted by (tile, depth)
+    payload_t: jax.Array,      # (NCH or NCH_PACKED, Ppad) f32, (tile, depth) order
     tile_starts: jax.Array,    # (T+1,) int32
     width: int,
     height: int,
     cfg: RasterConfig,
     interpret: bool = False,
+    packed: bool = False,
 ):
     """Returns out_tiles (T, NOUT, PX); row OUT_STOP holds the per-tile\n    stop-chunk count (broadcast across the pixel row, exact in f32)."""
     import math
@@ -179,6 +185,8 @@ def rasterize_forward(
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
     num_tiles = tiles_x * tiles_y
     px = cfg.tile_size * cfg.tile_size
+    nch_in = NCH_PACKED if packed else NCH
+    assert payload_t.shape[0] == nch_in
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -188,6 +196,7 @@ def rasterize_forward(
         alpha_min=cfg.alpha_min,
         alpha_max=cfg.alpha_max,
         log_eps=math.log(cfg.trans_eps) if cfg.trans_eps > 0 else -1e30,
+        packed=packed,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -197,7 +206,7 @@ def rasterize_forward(
         out_specs=pl.BlockSpec((1, NOUT, px), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, NCH, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((NBUF, nch_in, cfg.chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )

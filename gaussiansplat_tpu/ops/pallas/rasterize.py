@@ -14,12 +14,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ...config import RasterConfig
-from ..binning import tile_grid
+from ..binning import reduce_pair_grads_packed_t, tile_grid
 from ..projection import PAYLOAD_DIM
 from ..tile_raster import RasterOut, image_to_tiles, tiles_to_image
 from .backward import rasterize_backward
-from .common import NOUT, OUT_LOGT, OUT_STOP
+from .common import NCH_PACKED, NOUT, OUT_LOGT, OUT_STOP, pack_payload_t
 from .forward import rasterize_forward
 
 
@@ -114,5 +116,123 @@ def rasterize_tiles_pallas(
     f = _make_rasterizer(width, height, cfg, interpret)
     image, trans = f(sorted_payload, tile_starts, background)
     seg_len = tile_starts[1:] - tile_starts[:-1]
+    needed = (jnp.max(seg_len) + cfg.chunk_size - 1) // cfg.chunk_size
+    return RasterOut(image=image, transmittance=trans, max_chunks_needed=needed)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
+                            interpret: bool):
+    """Fused packed pipeline: the custom_vjp boundary is the (N, NCH)
+    per-gaussian payload — packing (bf16 color/opacity/depth), the sorted
+    P-gather, the raster kernels, and the gather-VJP's un-permute + segment
+    reduction all live INSIDE the boundary, so autodiff never sees a bit op
+    and every P-proportional stream moves 8 lanes instead of 16."""
+    ts = cfg.tile_size
+    cs = cfg.chunk_size
+
+    @jax.custom_vjp
+    def raster(payload, binfields, background):
+        img, trans, *_ = _fwd(payload, binfields, background)
+        return img, trans
+
+    def _fwd(payload, bf, background):
+        packed_t = pack_payload_t(payload[bf["depth_order"]])  # (8, N)
+        payload_t = jnp.concatenate(
+            [
+                packed_t[:, bf["sorted_ranks"]],               # (8, P) gather
+                jnp.zeros((NCH_PACKED, cs), jnp.float32),
+            ],
+            axis=1,
+        )
+        out_tiles = rasterize_forward(
+            payload_t, bf["tile_starts"], width, height, cfg,
+            interpret=interpret, packed=True,
+        )
+        log_t = out_tiles[:, OUT_LOGT, :]
+        trans_tiles = jnp.exp(log_t)
+        rgb_tiles = jnp.transpose(out_tiles[:, 0:3, :], (0, 2, 1))
+        img_tiles = rgb_tiles + trans_tiles[..., None] * background[None, None, :]
+        image = tiles_to_image(img_tiles, width, height, ts)
+        trans = tiles_to_image(trans_tiles, width, height, ts)
+        return image, trans, payload_t, out_tiles
+
+    def raster_fwd(payload, bf, background):
+        image, trans, payload_t, out_tiles = _fwd(payload, bf, background)
+        return (image, trans), (payload_t, bf, background, out_tiles)
+
+    def raster_bwd(res, cots):
+        payload_t, bf, background, out_tiles = res
+        stops = out_tiles[:, OUT_STOP, 0].astype(jnp.int32)
+        dimg, dtrans = cots
+        p = payload_t.shape[1] - cs
+
+        dimg_tiles = image_to_tiles(dimg, ts)          # (T, PX, 3)
+        dtrans_tiles = image_to_tiles(dtrans, ts)      # (T, PX)
+        log_t = out_tiles[:, OUT_LOGT, :]
+        trans_tiles = jnp.exp(log_t)
+
+        dtrans_total = dtrans_tiles + jnp.einsum(
+            "tpc,c->tp", dimg_tiles, background
+        )
+        dlog_t = dtrans_total * trans_tiles
+
+        px = ts * ts
+        num_tiles = dimg_tiles.shape[0]
+        cot_tiles = jnp.concatenate(
+            [
+                jnp.transpose(dimg_tiles, (0, 2, 1)),  # rows dR, dG, dB
+                dlog_t[:, None, :],
+                jnp.zeros((num_tiles, NOUT - 4, px), jnp.float32),
+            ],
+            axis=1,
+        )
+
+        dpacked_t = rasterize_backward(
+            payload_t, bf["tile_starts"], stops, cot_tiles, out_tiles,
+            width, height, cfg, interpret=interpret, packed=True,
+        )                                              # (8, P + cs)
+        dpayload = reduce_pair_grads_packed_t(
+            dpacked_t[:, :p],
+            bf["sorted_ranks"],
+            bf["depth_order"],
+            bf["sorted_pos"],
+            bf["seg_offsets"],
+            bf["num_pairs"],
+            interpret=interpret,
+        )                                              # (N, NCH) orig order
+
+        dbg = jnp.einsum("tpc,tp->c", dimg_tiles, trans_tiles)
+        dbf = jax.tree_util.tree_map(
+            lambda x: np.zeros(x.shape, jax.dtypes.float0), bf
+        )
+        return dpayload, dbf, dbg
+
+    raster.defvjp(raster_fwd, raster_bwd)
+    return raster
+
+
+def rasterize_payload_pallas(
+    payload: jax.Array,          # (N, NCH) per-gaussian payload (unpacked)
+    binning,                     # TileBinning
+    background: jax.Array,       # (3,)
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+    interpret: bool = False,
+) -> RasterOut:
+    """Packed fast path: differentiable w.r.t. `payload` and `background`."""
+    f = _make_packed_rasterizer(width, height, cfg, interpret)
+    binfields = dict(
+        depth_order=binning.depth_order,
+        sorted_ranks=binning.sorted_ranks,
+        sorted_pos=binning.sorted_pos,
+        seg_offsets=binning.seg_offsets,
+        num_pairs=binning.num_pairs,
+        tile_starts=binning.tile_starts,
+    )
+    image, trans = f(payload, binfields, background)
+    ts = binning.tile_starts
+    seg_len = ts[1:] - ts[:-1]
     needed = (jnp.max(seg_len) + cfg.chunk_size - 1) // cfg.chunk_size
     return RasterOut(image=image, transmittance=trans, max_chunks_needed=needed)

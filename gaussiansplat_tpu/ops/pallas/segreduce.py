@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import NBUF, NCH
+from .common import NBUF, NCH, NCH_PACKED, unpack_grad_chunk
 
 # Ranks (gaussians) reduced per grid program, and pairs streamed per chunk.
 SEG_G = 512
@@ -47,8 +47,10 @@ def _segreduce_kernel(
     # output
     out_ref,           # (NCH, SEG_G) f32 VMEM: per-rank sums for this block
     # scratch
-    chunk_buf,         # (NBUF, NCH, SEG_C) f32 VMEM ring
+    chunk_buf,         # (NBUF, NCH or NCH_PACKED, SEG_C) f32 VMEM ring
     sems,              # (NBUF,) DMA semaphores
+    *,
+    packed: bool,
 ):
     b = pl.program_id(0)
     c = SEG_C
@@ -80,7 +82,9 @@ def _segreduce_kernel(
             chunk_dma(nxt % NBUF, nxt).start()
 
         chunk_dma(ci % NBUF, ci).wait()
-        chunk = chunk_buf[ci % NBUF]                 # (NCH, C)
+        chunk = chunk_buf[ci % NBUF]                 # (NCH or NCH_PACKED, C)
+        if packed:
+            chunk = unpack_grad_chunk(chunk)         # (NCH, C)
 
         # Membership one-hot from the segment boundaries: pair p belongs to
         # rank r iff off[r] <= p < off[r+1]. Pairs outside this block's rank
@@ -117,12 +121,16 @@ def _segreduce_kernel(
 
 
 def segment_reduce_pairs(
-    dpre_t: jax.Array,        # (NCH, Ppad) f32, pairs in pre-sort order
+    dpre_t: jax.Array,        # (NCH or NCH_PACKED, Ppad) f32, pre-sort order
     seg_offsets: jax.Array,   # (N + 1,) i32 segment starts (last = num_pairs)
     n: int,
     interpret: bool = False,
+    packed: bool = False,
 ) -> jax.Array:
-    """Sum 16-channel pair gradients per depth rank. Returns (n, NCH)."""
+    """Sum 16-channel pair gradients per depth rank (unpacking bf16-packed
+    color/depth lanes inline when `packed`). Returns (n, NCH)."""
+    nch_in = NCH_PACKED if packed else NCH
+    assert dpre_t.shape[0] == nch_in
     nb = -(-n // SEG_G)
     ranks = jnp.minimum(
         jnp.arange(nb + 1, dtype=jnp.int32) * SEG_G, n
@@ -148,14 +156,14 @@ def segment_reduce_pairs(
         out_specs=pl.BlockSpec((1, NCH, SEG_G), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, NCH, SEG_C), jnp.float32),
+            pltpu.VMEM((NBUF, nch_in, SEG_C), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
     def squeeze_kernel(off_ref, dpre_ref, win_ref, out_ref, chunk_buf, sems):
         _segreduce_kernel(off_ref, dpre_ref, win_ref.at[0], out_ref.at[0],
-                          chunk_buf, sems)
+                          chunk_buf, sems, packed=packed)
 
     out = pl.pallas_call(
         squeeze_kernel,

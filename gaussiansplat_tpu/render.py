@@ -83,9 +83,9 @@ def render(
 
     binning = bin_gaussians(proj, camera.width, camera.height, cfg, impl=impl)
     payload = make_payload(proj)
-    sorted_payload = binning.gather_payload(payload, impl=impl)
 
     if impl == "xla":
+        sorted_payload = binning.gather_payload(payload, impl=impl)
         out = rasterize_tiles_xla(
             sorted_payload,
             binning.tile_starts,
@@ -96,17 +96,31 @@ def render(
             max_chunks=xla_max_chunks,
         )
     elif impl in ("pallas", "pallas_interpret"):
-        from .ops.pallas.rasterize import rasterize_tiles_pallas
+        if cfg.packed:
+            from .ops.pallas.rasterize import rasterize_payload_pallas
 
-        out = rasterize_tiles_pallas(
-            sorted_payload,
-            binning.tile_starts,
-            background,
-            camera.width,
-            camera.height,
-            cfg,
-            interpret=(impl == "pallas_interpret"),
-        )
+            out = rasterize_payload_pallas(
+                payload,
+                binning,
+                background,
+                camera.width,
+                camera.height,
+                cfg,
+                interpret=(impl == "pallas_interpret"),
+            )
+        else:
+            from .ops.pallas.rasterize import rasterize_tiles_pallas
+
+            sorted_payload = binning.gather_payload(payload, impl=impl)
+            out = rasterize_tiles_pallas(
+                sorted_payload,
+                binning.tile_starts,
+                background,
+                camera.width,
+                camera.height,
+                cfg,
+                interpret=(impl == "pallas_interpret"),
+            )
     else:
         raise ValueError(f"unknown rasterizer impl: {impl!r}")
 

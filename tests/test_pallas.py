@@ -14,16 +14,28 @@ from gaussiansplat_tpu.render import render as _render
 
 render = jax.jit(_render, static_argnames=("cfg", "sh_degree", "impl", "xla_max_chunks"))
 
-CFG = RasterConfig(tile_size=32, chunk_size=128, impl="xla")
+# packed=False everywhere below: these tests check math equivalence of the
+# unpacked kernels against the XLA twin. The bf16-packed fast path (the
+# production default) is covered by TestPallasPacked with quantization-scale
+# tolerances.
+CFG = RasterConfig(tile_size=32, chunk_size=128, impl="xla", packed=False)
 # Small chunks force multi-chunk segments and exercise the reverse sweep,
 # boundary-chunk read-modify-write, and early exit.
-CFG_SMALL_CHUNK = RasterConfig(tile_size=32, chunk_size=8, impl="xla")
+CFG_SMALL_CHUNK = RasterConfig(tile_size=32, chunk_size=8, impl="xla",
+                               packed=False)
 # Exact-comparison variants: early exit off (trans_eps=0), because XLA never
 # early-exits and a saturated tile can legitimately differ by ~trans_eps *
 # remaining color; the saturation tests below cover early exit explicitly.
-CFG_EXACT = RasterConfig(tile_size=32, chunk_size=128, impl="xla", trans_eps=0.0)
+CFG_EXACT = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                         trans_eps=0.0, packed=False)
 CFG_SMALL_CHUNK_EXACT = RasterConfig(
-    tile_size=32, chunk_size=8, impl="xla", trans_eps=0.0)
+    tile_size=32, chunk_size=8, impl="xla", trans_eps=0.0, packed=False)
+# Packed fast path (the default on TPU): 8 f32 lanes per pair, opacity/
+# color/depth bf16-quantized (~0.4% relative).
+CFG_PACKED = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                          trans_eps=0.0, packed=True)
+CFG_PACKED_SMALL = RasterConfig(tile_size=32, chunk_size=8, impl="xla",
+                                trans_eps=0.0, packed=True)
 
 
 def setup_scene(n=256, seed=0, width=128, height=128, opacity=0.8):
@@ -93,6 +105,84 @@ class TestPallasForward:
                     impl="pallas_interpret")
         np.testing.assert_allclose(
             op.image, jnp.broadcast_to(bg, op.image.shape), atol=1e-6)
+
+
+class TestPallasPacked:
+    """The bf16-packed fast path vs the XLA twin: identical math except
+    opacity/color/depth are bf16-rounded (|Δ| ≲ 0.4% relative), so images
+    and gradients must agree to quantization scale, not machine epsilon."""
+
+    @pytest.mark.parametrize(
+        "cfg", [CFG_PACKED, CFG_PACKED_SMALL], ids=["cs128", "cs8"])
+    def test_forward_matches_xla(self, cfg):
+        model, cam = setup_scene()
+        bg = jnp.array([0.1, 0.2, 0.3])
+        ox = render(model, cam, cfg, sh_degree=1, background=bg, impl="xla",
+                    xla_max_chunks=256)
+        op = render(model, cam, cfg, sh_degree=1, background=bg,
+                    impl="pallas_interpret")
+        assert_images_close(op.image, ox.image, atol=8e-3, outlier_atol=8e-2)
+        assert_images_close(op.transmittance, ox.transmittance, atol=8e-3,
+                            outlier_atol=8e-2)
+
+    def test_packed_vs_unpacked_pallas(self):
+        """Packing is the ONLY difference between the two pallas paths."""
+        model, cam = setup_scene(n=192)
+        bg = jnp.array([0.4, 0.1, 0.2])
+        o_u = render(model, cam, CFG_EXACT, sh_degree=1, background=bg,
+                     impl="pallas_interpret")
+        o_p = render(model, cam, CFG_PACKED, sh_degree=1, background=bg,
+                     impl="pallas_interpret")
+        assert_images_close(o_p.image, o_u.image, atol=8e-3, outlier_atol=8e-2)
+
+    def test_grads_match_xla(self):
+        model, cam = setup_scene(n=96, width=64, height=64)
+        target = jax.random.uniform(jax.random.PRNGKey(7), (64, 64, 3))
+        bg = jnp.array([0.3, 0.1, 0.6])
+
+        def make_loss(impl):
+            def loss(params):
+                m = model.with_params(params)
+                out = render(m, cam, CFG_PACKED, sh_degree=1, background=bg,
+                             impl=impl, xla_max_chunks=256)
+                return (jnp.mean((out.image - target) ** 2)
+                        + 0.1 * jnp.mean(out.transmittance))
+            return loss
+
+        p = model.trainable()
+        g_xla = jax.jit(jax.grad(make_loss("xla")))(p)
+        g_pal = jax.jit(jax.grad(make_loss("pallas_interpret")))(p)
+        for k in p:
+            gx, gp = np.asarray(g_xla[k]), np.asarray(g_pal[k])
+            assert np.isfinite(gp).all(), k
+            scale = np.abs(gx).max() + 1e-8
+            np.testing.assert_allclose(gp / scale, gx / scale, atol=2e-2,
+                                       err_msg=f"grad mismatch for {k}")
+
+    def test_background_grad(self):
+        model, cam = setup_scene(n=64, width=64, height=64)
+
+        def loss(bg, impl):
+            out = render(model, cam, CFG_PACKED, sh_degree=1, background=bg,
+                         impl=impl)
+            return jnp.sum(out.image * jnp.arange(3.0))
+
+        bg = jnp.array([0.2, 0.4, 0.6])
+        g_x = jax.jit(jax.grad(lambda b: loss(b, "xla")))(bg)
+        g_p = jax.jit(jax.grad(lambda b: loss(b, "pallas_interpret")))(bg)
+        np.testing.assert_allclose(g_p, g_x, rtol=2e-2, atol=2e-3)
+
+    def test_pack_unpack_roundtrip(self):
+        from gaussiansplat_tpu.ops.pallas.common import (
+            pack_bf16_pair, unpack_bf16_pair)
+
+        x = jnp.array([0.0, 1.0, -0.5, 3.14159, 1e-8, -1e8, 0.999], jnp.float32)
+        y = jnp.array([2.0, -1.0, 0.25, 1e-20, 7.5, 0.001, -0.999], jnp.float32)
+        xr, yr = unpack_bf16_pair(pack_bf16_pair(x, y))
+        np.testing.assert_array_equal(
+            np.asarray(xr), np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32)))
+        np.testing.assert_array_equal(
+            np.asarray(yr), np.asarray(y.astype(jnp.bfloat16).astype(jnp.float32)))
 
 
 class TestPallasExpand:
