@@ -1,3 +1,4 @@
+from .depth_ring import make_depth_ring_render
 from .gauss_shard import (
     GAUSS_AXIS,
     make_gauss_mesh,
@@ -14,6 +15,7 @@ __all__ = [
     "GAUSS_AXIS",
     "TILE_AXIS",
     "init_gauss_sharded_state",
+    "make_depth_ring_render",
     "make_gauss_mesh",
     "make_gauss_sharded_render",
     "make_gauss_sharded_train_step",
