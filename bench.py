@@ -81,13 +81,24 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, grads
 
+    # The remote-TPU platform's block_until_ready can return before the
+    # executable actually finishes; a device->host scalar fetch cannot be
+    # fabricated early. Launch all ITERS asynchronously (throughput
+    # semantics: they queue on the one chip) and force ONE fetch at the end,
+    # so the ~tens-of-ms tunnel round trip is amortized 1/ITERS instead of
+    # inflating every iteration.
+    fetch = jax.jit(lambda o: jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.ravel(x)[:64].astype(jnp.float32)),
+        o, jnp.float32(0)))
+
     def timeit(f, *args):
         for _ in range(WARMUP):
-            jax.block_until_ready(f(*args))
+            float(fetch(f(*args)))
         t0 = time.perf_counter()
+        out = None
         for _ in range(ITERS):
             out = f(*args)
-        jax.block_until_ready(out)
+        float(fetch(out))
         return (time.perf_counter() - t0) / ITERS
 
     t_fwd = timeit(fwd, params)

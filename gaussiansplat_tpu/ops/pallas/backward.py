@@ -53,6 +53,7 @@ from .common import (
     OUT_LOGT,
     chunk_alpha,
     dot_split3,
+    mom_dot_exact_basis,
     pack_grad_chunk,
     pixel_basis,
     tri_dot_split,
@@ -104,8 +105,9 @@ def _bwd_kernel(
     # tile's segment and needs the read-modify-write boundary handling.
     n_live = jnp.maximum(jnp.minimum(stop, n_chunks), jnp.minimum(n_chunks, 1))
 
-    ox = ((t % tiles_x) * tile_size).astype(jnp.float32)
-    oy = ((t // tiles_x) * tile_size).astype(jnp.float32)
+    # Half-tile shift pairs with the centered pixel_basis (exact-bf16 ints).
+    ox = ((t % tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
 
     basis = pixel_basis(tile_size)       # (PX, 8)
     tri = tri_incl(cs)
@@ -212,9 +214,7 @@ def _bwd_kernel(
         dq = -0.5 * dalpha * alpha
 
         # Moment matrix: rows sum_px dq * [x^2, y^2, xy, x, y, 1, _, _].
-        mom = dot_split3(
-            basis, dq, (((0,), (0,)), ((), ()))
-        )                                # (8, CS)
+        mom = mom_dot_exact_basis(basis, dq)   # (8, CS)
         bxx = mom[0:1]; byy = mom[1:2]; bxy = mom[2:3]
         bx = mom[3:4]; by = mom[4:5]; b1 = mom[5:6]
         da = bxx - 2.0 * mx * bx + mx * mx * b1

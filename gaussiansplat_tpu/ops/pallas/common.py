@@ -161,11 +161,19 @@ def unpack_grad_chunk(d8: jax.Array) -> jax.Array:
 
 
 def pixel_basis(tile_size: int) -> jax.Array:
-    """(PX, 8) polynomial basis over tile-local pixel coordinates."""
+    """(PX, 8) polynomial basis over tile-CENTERED pixel coordinates.
+
+    Centering makes every basis entry an integer with |entry| <= (ts/2)^2
+    (<= 256 for 32px tiles) — exactly representable in bf16 — so the
+    quadratic form q = basis @ Q needs only a 3-way Dekker split of Q
+    (3 MXU passes) instead of Precision.HIGHEST's 6 to keep f32 accuracy:
+    see q_dot_exact_basis. The half-tile shift is absorbed into the mean
+    offset in quad_coeff_matrix (callers pass the raw tile origin)."""
     px = tile_size * tile_size
+    h = tile_size // 2
     idx = jax.lax.broadcasted_iota(jnp.int32, (px, 1), 0)
-    x = (idx % tile_size).astype(jnp.float32)
-    y = (idx // tile_size).astype(jnp.float32)
+    x = (idx % tile_size - h).astype(jnp.float32)
+    y = (idx // tile_size - h).astype(jnp.float32)
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
@@ -228,6 +236,41 @@ def tri_dot_split(x: jax.Array, tri: jax.Array) -> jax.Array:
     return out + jnp.dot(lo, t16, preferred_element_type=jnp.float32)
 
 
+def q_dot_exact_basis(basis: jax.Array, q_rows: jax.Array) -> jax.Array:
+    """basis @ q_rows where `basis` is exact in bf16 (integer entries
+    |.| <= 256 from the tile-centered pixel_basis): a 3-way Dekker split of
+    q_rows reconstructs its full ~24 mantissa bits, so three bf16 MXU passes
+    match Precision.HIGHEST (six passes) on the catastrophically-cancelling
+    expanded polynomial."""
+    b16 = basis.astype(jnp.bfloat16)
+    hi = q_rows.astype(jnp.bfloat16)
+    r = q_rows - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x):
+        return jnp.dot(b16, x, preferred_element_type=jnp.float32)
+
+    return d(hi) + (d(mid) + d(lo))
+
+
+def mom_dot_exact_basis(basis: jax.Array, dq: jax.Array) -> jax.Array:
+    """basis^T @ dq (contraction over pixels) with the exact-bf16 centered
+    basis: only dq needs the hi/lo split — two MXU passes for the same ~16
+    reconstructed mantissa bits dot_split3 gets from three."""
+    b16 = basis.astype(jnp.bfloat16)
+    hi = dq.astype(jnp.bfloat16)
+    lo = (dq - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x):
+        return jax.lax.dot_general(
+            b16, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(hi) + d(lo)
+
+
 def quad_coeff_matrix(chunk: jax.Array, ox: jax.Array, oy: jax.Array) -> tuple:
     """Per-gaussian quadratic coefficients Q (8, CS) s.t. basis @ Q = q, plus
     the tile-local means and conic rows used again by the backward pass.
@@ -271,8 +314,7 @@ def chunk_alpha(
     """Alpha matrix (PX, CS) plus the clamp gate used by backward."""
     cs = chunk.shape[1]
     q_rows, mx, my, a, b, c = quad_coeff_matrix(chunk, ox, oy)
-    q = jnp.dot(basis, q_rows, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (PX, CS)
+    q = q_dot_exact_basis(basis, q_rows)              # (PX, CS)
     op = chunk[CH_OP : CH_OP + 1, :]
     alpha_raw = op * jnp.exp(-0.5 * q)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + gidx0

@@ -81,8 +81,9 @@ def _fwd_kernel(
     base = pl.multiple_of((start // cs) * cs, cs)
     n_chunks = (end - base + cs - 1) // cs
 
-    ox = ((t % tiles_x) * tile_size).astype(jnp.float32)
-    oy = ((t // tiles_x) * tile_size).astype(jnp.float32)
+    # Half-tile shift pairs with the centered pixel_basis (exact-bf16 ints).
+    ox = ((t % tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
+    oy = ((t // tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
 
     basis = pixel_basis(tile_size)     # (PX, 8)
     tri = tri_incl(cs)                 # (CS, CS)
