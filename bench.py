@@ -44,10 +44,11 @@ def main():
     from gaussiansplat_tpu.train.loss import photometric_loss
 
     backend = jax.default_backend()
-    # The (tile, depth) sort dominates frame time and sorts the full static
-    # capacity, so keep the pair budget tight: this scene measures ~2.9
-    # pairs/gaussian (overflow is reported if a config exceeds the budget).
-    cfg = RasterConfig(pairs_per_gaussian=4.0)
+    # Every P-proportional cost (sorts, gathers, kernel streams) scales with
+    # the STATIC pair capacity, so keep the budget tight: this scene measures
+    # ~2.93 pairs/gaussian; 3.25 leaves 11% headroom (overflow is reported if
+    # a config exceeds the budget).
+    cfg = RasterConfig(pairs_per_gaussian=3.25)
 
     # Scene scaled so splats land at realistic sizes (~1-3 tiles each).
     model = random_model(

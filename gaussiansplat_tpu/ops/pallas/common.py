@@ -219,6 +219,27 @@ def dot_split3(a: jax.Array, b: jax.Array, dims) -> jax.Array:
     return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
 
 
+def dot_split2_exact_b(a: jax.Array, b_exact: jax.Array, dims) -> jax.Array:
+    """dot_general with only `a` Dekker-split (2 bf16 passes): valid when
+    every contraction-relevant entry of `b_exact` is exactly representable
+    in bf16 — true for the UNPACKED payload chunk's linear channels
+    (bf16-quantized color/opacity/depth, the constant 1, zeros) in packed
+    mode. Rows contracted against inexact-f32 entries of b_exact produce
+    slightly less accurate sums; callers must only use outputs whose
+    contraction touched exact rows (the raster discards the others)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b16 = b_exact.astype(jnp.bfloat16)
+
+    def d(x):
+        return jax.lax.dot_general(
+            x, b16, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(a_hi) + d(a_lo)
+
+
 def tri_dot_split(x: jax.Array, tri: jax.Array) -> jax.Array:
     """x @ tri with x split into two bf16 passes (Dekker-style hi/lo).
 

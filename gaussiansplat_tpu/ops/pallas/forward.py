@@ -40,8 +40,8 @@ from .common import (
     NCH,
     NCH_PACKED,
     NOUT,
-    OUT_LOGT,
     chunk_alpha,
+    dot_split2_exact_b,
     dot_split3,
     pixel_basis,
     tri_dot_split,
@@ -130,8 +130,15 @@ def _fwd_kernel(
         s_excl = s_incl - ell
         t_in = jnp.exp(s_excl + log_t)                            # (PX, CS)
         w = alpha * t_in
-        # acc_c += sum_g w * payload[c, g] for every channel c at once.
-        acc = acc + dot_split3(w, chunk, (((1,), (1,)), ((), ())))
+        # acc_c += sum_g w * payload[c, g] for every channel c at once. In
+        # packed mode the consumed channel rows (colors/one/depth) are
+        # bf16-exact, so only w needs the Dekker split (2 passes vs 3); the
+        # inexact geometry columns of acc are never read.
+        dims = (((1,), (1,)), ((), ()))
+        if packed:
+            acc = acc + dot_split2_exact_b(w, chunk, dims)
+        else:
+            acc = acc + dot_split3(w, chunk, dims)
         log_t = log_t + s_incl[:, cs - 1 : cs]
         alive = jnp.max(log_t) > log_eps
         return ci + 1, acc, log_t, alive

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import RasterConfig
-from ..binning import reduce_pair_grads_packed_t, tile_grid
+from ..binning import reduce_pair_grads_packed_t
 from ..projection import PAYLOAD_DIM
 from ..tile_raster import RasterOut, image_to_tiles, tiles_to_image
 from .backward import rasterize_backward
