@@ -71,7 +71,8 @@ def cmd_train(args) -> int:
         white_background=args.white_background,
         sh_degree=args.sh_degree,
     )
-    rcfg = RasterConfig(impl=args.impl)
+    rcfg = RasterConfig(impl=args.impl, packed=not args.no_packed,
+                        pairs_per_gaussian=args.pairs_per_gaussian)
     os.makedirs(args.out, exist_ok=True)
     logger = MetricLogger(os.path.join(args.out, "metrics.jsonl"))
     trainer = Trainer(raster_cfg=rcfg, cfg=tcfg)
@@ -101,7 +102,8 @@ def cmd_render(args) -> int:
     from .utils import import_ply
 
     model = import_ply(args.ply)
-    cfg = RasterConfig(impl=args.impl)
+    cfg = RasterConfig(impl=args.impl, packed=not args.no_packed,
+                       pairs_per_gaussian=args.pairs_per_gaussian)
     bg = jnp.ones((3,)) if args.white_background else jnp.zeros((3,))
 
     if args.cameras:
@@ -142,7 +144,8 @@ def cmd_eval(args) -> int:
 
     scene = _load_scene(args)
     model = import_ply(args.ply)
-    cfg = RasterConfig(impl=args.impl)
+    cfg = RasterConfig(impl=args.impl, packed=not args.no_packed,
+                       pairs_per_gaussian=args.pairs_per_gaussian)
     bg = jnp.ones((3,)) if args.white_background else jnp.zeros((3,))
     fn = jax.jit(
         lambda m, c: render(m, c, cfg, sh_degree=args.sh_degree,
@@ -173,6 +176,12 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--pairs-per-gaussian", type=float, default=8.0,
+                   help="static pair-list capacity as a multiple of N "
+                        "(overflow is counted and logged, never reallocated)")
+    p.add_argument("--no-packed", action="store_true",
+                   help="disable the bf16-packed pallas fast path "
+                        "(bit-exact kernels, ~25%% slower)")
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--white-background", action="store_true")
 
