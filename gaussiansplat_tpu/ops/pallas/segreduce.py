@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import NBUF, NCH, NCH_PACKED, unpack_grad_chunk
 
 # Ranks (gaussians) reduced per grid program, and pairs streamed per chunk.
+# (Measured on hardware: doubling SEG_G to 1024 does not help — the kernel
+# is stream-bound, not program-overhead-bound.)
 SEG_G = 512
 SEG_C = 512
 # Lane-padded width of the per-block boundary window (needs G + 1 values).
