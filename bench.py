@@ -65,6 +65,21 @@ def main():
 
     impl = "pallas" if backend == "tpu" else "xla"
 
+    # Guard the measurement's validity: dropped pairs would silently shrink
+    # the measured work and inflate rays/s.
+    @jax.jit
+    def count_overflow(params):
+        m = model.with_params(params)
+        return render(m, camera, cfg, sh_degree=SH_DEGREE, background=bg,
+                      impl=impl).overflow
+
+    n_overflow = int(count_overflow(params))
+    if n_overflow:
+        sys.stderr.write(
+            f"[bench] WARNING: {n_overflow} pairs dropped — raise "
+            f"pairs_per_gaussian; rays/s below is NOT trustworthy\n"
+        )
+
     @jax.jit
     def fwd(params):
         m = model.with_params(params)

@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -66,8 +67,6 @@ PK_MX, PK_MY, PK_CA, PK_CB, PK_CC, PK_OP_DEPTH, PK_R_G, PK_B_X = range(8)
 # f32, color/depth grads bf16-packed. (The wsum/'one' channel has no real
 # cotangent — the raster returns only image and transmittance.)
 GK_MX, GK_MY, GK_CA, GK_CB, GK_CC, GK_OP, GK_R_G, GK_B_DEPTH = range(8)
-
-import numpy as np
 
 _HI_MASK = np.int32(-65536)           # 0xFFFF0000
 _LO_MASK = np.int32(0xFFFF)
@@ -167,8 +166,16 @@ def pixel_basis(tile_size: int) -> jax.Array:
     (<= 256 for 32px tiles) — exactly representable in bf16 — so the
     quadratic form q = basis @ Q needs only a 3-way Dekker split of Q
     (3 MXU passes) instead of Precision.HIGHEST's 6 to keep f32 accuracy:
-    see q_dot_exact_basis. The half-tile shift is absorbed into the mean
-    offset in quad_coeff_matrix (callers pass the raw tile origin)."""
+    see q_dot_exact_basis. CALLERS MUST PASS THE HALF-TILE-SHIFTED ORIGIN
+    (tile_origin + tile_size // 2) to chunk_alpha/quad_coeff_matrix so the
+    mean offset lands in the same centered frame."""
+    # The exact-bf16 premise breaks beyond (ts/2)^2 = 256 (bf16 has an 8-bit
+    # mantissa): guard it rather than silently losing the cancellation-
+    # critical precision of q.
+    assert tile_size <= 32, (
+        f"pallas rasterizer requires tile_size <= 32 (got {tile_size}): the "
+        "exact-bf16 centered basis bounds entries by (tile_size/2)^2 <= 256"
+    )
     px = tile_size * tile_size
     h = tile_size // 2
     idx = jax.lax.broadcasted_iota(jnp.int32, (px, 1), 0)

@@ -25,6 +25,45 @@ from .common import NCH_PACKED, NOUT, OUT_LOGT, OUT_STOP, pack_payload_t
 from .forward import rasterize_forward
 
 
+def _compose_outputs(out_tiles, background, width, height, ts):
+    """Shared tail of both forward paths: background compositing + tile
+    grid -> image reassembly from the kernels' (T, NOUT, PX) block."""
+    log_t = out_tiles[:, OUT_LOGT, :]
+    trans_tiles = jnp.exp(log_t)
+    rgb_tiles = jnp.transpose(out_tiles[:, 0:3, :], (0, 2, 1))
+    img_tiles = rgb_tiles + trans_tiles[..., None] * background[None, None, :]
+    image = tiles_to_image(img_tiles, width, height, ts)
+    trans = tiles_to_image(trans_tiles, width, height, ts)
+    return image, trans
+
+
+def _image_cotangents(cots, out_tiles, background, ts):
+    """Shared head of both backward paths: image/transmittance cotangents ->
+    the (T, NOUT, PX) per-tile cotangent block for the bwd kernel, plus the
+    background cotangent."""
+    dimg, dtrans = cots
+    dimg_tiles = image_to_tiles(dimg, ts)          # (T, PX, 3)
+    dtrans_tiles = image_to_tiles(dtrans, ts)      # (T, PX)
+    trans_tiles = jnp.exp(out_tiles[:, OUT_LOGT, :])
+
+    # d/d logT of (trans output + background compositing).
+    dtrans_total = dtrans_tiles + jnp.einsum("tpc,c->tp", dimg_tiles, background)
+    dlog_t = dtrans_total * trans_tiles
+
+    px = ts * ts
+    num_tiles = dimg_tiles.shape[0]
+    cot_tiles = jnp.concatenate(
+        [
+            jnp.transpose(dimg_tiles, (0, 2, 1)),  # rows dR, dG, dB
+            dlog_t[:, None, :],
+            jnp.zeros((num_tiles, NOUT - 4, px), jnp.float32),
+        ],
+        axis=1,
+    )
+    dbg = jnp.einsum("tpc,tp->c", dimg_tiles, trans_tiles)
+    return cot_tiles, dbg
+
+
 @functools.lru_cache(maxsize=None)
 def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool):
     ts = cfg.tile_size
@@ -36,7 +75,6 @@ def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool
         return img, trans
 
     def _fwd(sorted_payload, tile_starts, background):
-        p = sorted_payload.shape[0]
         payload_t = jnp.concatenate(
             [sorted_payload.T, jnp.zeros((PAYLOAD_DIM, cs), jnp.float32)],
             axis=1,
@@ -44,12 +82,7 @@ def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool
         out_tiles = rasterize_forward(
             payload_t, tile_starts, width, height, cfg, interpret=interpret
         )
-        log_t = out_tiles[:, OUT_LOGT, :]
-        trans_tiles = jnp.exp(log_t)
-        rgb_tiles = jnp.transpose(out_tiles[:, 0:3, :], (0, 2, 1))
-        img_tiles = rgb_tiles + trans_tiles[..., None] * background[None, None, :]
-        image = tiles_to_image(img_tiles, width, height, ts)
-        trans = tiles_to_image(trans_tiles, width, height, ts)
+        image, trans = _compose_outputs(out_tiles, background, width, height, ts)
         return image, trans, payload_t, out_tiles
 
     def raster_fwd(sorted_payload, tile_starts, background):
@@ -62,30 +95,8 @@ def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool
     def raster_bwd(res, cots):
         payload_t, tile_starts, background, out_tiles = res
         stops = out_tiles[:, OUT_STOP, 0].astype(jnp.int32)
-        dimg, dtrans = cots
         p = payload_t.shape[1] - cs
-
-        dimg_tiles = image_to_tiles(dimg, ts)          # (T, PX, 3)
-        dtrans_tiles = image_to_tiles(dtrans, ts)      # (T, PX)
-        log_t = out_tiles[:, OUT_LOGT, :]
-        trans_tiles = jnp.exp(log_t)
-
-        # d/d logT of (trans output + background compositing).
-        dtrans_total = dtrans_tiles + jnp.einsum(
-            "tpc,c->tp", dimg_tiles, background
-        )
-        dlog_t = dtrans_total * trans_tiles
-
-        px = ts * ts
-        num_tiles = dimg_tiles.shape[0]
-        cot_tiles = jnp.concatenate(
-            [
-                jnp.transpose(dimg_tiles, (0, 2, 1)),  # rows dR, dG, dB
-                dlog_t[:, None, :],
-                jnp.zeros((num_tiles, NOUT - 4, px), jnp.float32),
-            ],
-            axis=1,
-        )
+        cot_tiles, dbg = _image_cotangents(cots, out_tiles, background, ts)
 
         dpayload_t = rasterize_backward(
             payload_t, tile_starts, stops, cot_tiles, out_tiles,
@@ -96,7 +107,6 @@ def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool
         valid = jnp.arange(p, dtype=jnp.int32) < tile_starts[-1]
         dsorted = jnp.where(valid[:, None], dsorted, 0.0)
 
-        dbg = jnp.einsum("tpc,tp->c", dimg_tiles, trans_tiles)
         d_starts = jnp.zeros_like(tile_starts)  # integer: no real cotangent
         return dsorted, d_starts, dbg
 
@@ -149,12 +159,7 @@ def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
             payload_t, bf["tile_starts"], width, height, cfg,
             interpret=interpret, packed=True,
         )
-        log_t = out_tiles[:, OUT_LOGT, :]
-        trans_tiles = jnp.exp(log_t)
-        rgb_tiles = jnp.transpose(out_tiles[:, 0:3, :], (0, 2, 1))
-        img_tiles = rgb_tiles + trans_tiles[..., None] * background[None, None, :]
-        image = tiles_to_image(img_tiles, width, height, ts)
-        trans = tiles_to_image(trans_tiles, width, height, ts)
+        image, trans = _compose_outputs(out_tiles, background, width, height, ts)
         return image, trans, payload_t, out_tiles
 
     def raster_fwd(payload, bf, background):
@@ -164,29 +169,8 @@ def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
     def raster_bwd(res, cots):
         payload_t, bf, background, out_tiles = res
         stops = out_tiles[:, OUT_STOP, 0].astype(jnp.int32)
-        dimg, dtrans = cots
         p = payload_t.shape[1] - cs
-
-        dimg_tiles = image_to_tiles(dimg, ts)          # (T, PX, 3)
-        dtrans_tiles = image_to_tiles(dtrans, ts)      # (T, PX)
-        log_t = out_tiles[:, OUT_LOGT, :]
-        trans_tiles = jnp.exp(log_t)
-
-        dtrans_total = dtrans_tiles + jnp.einsum(
-            "tpc,c->tp", dimg_tiles, background
-        )
-        dlog_t = dtrans_total * trans_tiles
-
-        px = ts * ts
-        num_tiles = dimg_tiles.shape[0]
-        cot_tiles = jnp.concatenate(
-            [
-                jnp.transpose(dimg_tiles, (0, 2, 1)),  # rows dR, dG, dB
-                dlog_t[:, None, :],
-                jnp.zeros((num_tiles, NOUT - 4, px), jnp.float32),
-            ],
-            axis=1,
-        )
+        cot_tiles, dbg = _image_cotangents(cots, out_tiles, background, ts)
 
         dpacked_t = rasterize_backward(
             payload_t, bf["tile_starts"], stops, cot_tiles, out_tiles,
@@ -202,7 +186,6 @@ def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
             interpret=interpret,
         )                                              # (N, NCH) orig order
 
-        dbg = jnp.einsum("tpc,tp->c", dimg_tiles, trans_tiles)
         dbf = jax.tree_util.tree_map(
             lambda x: np.zeros(x.shape, jax.dtypes.float0), bf
         )

@@ -49,7 +49,7 @@ from ..ops.projection import (
     project_gaussians,
 )
 from ..ops.tile_raster import rasterize_tiles_xla
-from .gauss_shard import GAUSS_AXIS
+from .gauss_shard import GAUSS_AXIS, pack_to_destinations
 
 # Static log-depth histogram resolution for the slab quantiles. 512 bins
 # over [HIST_ZMIN, HIST_ZMAX] gives ~2.7% depth granularity per bin — slab
@@ -84,11 +84,15 @@ def depth_slab_bounds(
     hist = jax.lax.psum(hist, axis_name)
     cdf = jnp.cumsum(hist)
     total = cdf[-1]
-    # boundary k = first bin with cdf >= (k+1)/n_slabs of the mass.
-    targets = (
-        (jnp.arange(1, n_slabs, dtype=jnp.int32)) * total
-    ) // n_slabs
-    bounds = jnp.searchsorted(cdf, targets, side="left").astype(jnp.int32)
+    # boundary k = first bin with cdf >= (k+1)/n_slabs of the mass. Computed
+    # in f32 because k * total overflows int32 at fleet scale (30M gaussians
+    # x 128 slabs); the ~2^-24 relative rounding only nudges LOAD BALANCE by
+    # a few counts, never correctness (slab membership stays bin-aligned).
+    frac = jnp.arange(1, n_slabs, dtype=jnp.float32) / n_slabs
+    targets = frac * total.astype(jnp.float32)
+    bounds = jnp.searchsorted(
+        cdf.astype(jnp.float32), targets, side="left"
+    ).astype(jnp.int32)
     return bounds
 
 
@@ -101,22 +105,9 @@ def pack_by_slab(
     """Fixed-shape (n_slabs, send_cap, 16) send buffer (no duplication —
     each gaussian lives in exactly one depth slab) plus overflow count."""
     n = payload.shape[0]
-    slab = jax.lax.stop_gradient(slab)
-    sorted_slab, sorted_ids = jax.lax.sort(
-        (slab, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    return pack_to_destinations(
+        payload, slab, jnp.arange(n, dtype=jnp.int32), n_slabs, send_cap
     )
-    starts = jnp.searchsorted(
-        sorted_slab, jnp.arange(n_slabs + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    seg_len = starts[1:] - starts[:-1]
-    overflow = jnp.sum(jnp.maximum(seg_len - send_cap, 0))
-
-    slot = jnp.arange(send_cap, dtype=jnp.int32)[None, :]
-    gather_pos = jnp.clip(starts[:-1, None] + slot, 0, n - 1)
-    ok = slot < seg_len[:, None]
-    gidx = jnp.where(ok, sorted_ids[gather_pos], 0)
-    send = jnp.where(ok[..., None], payload[gidx], 0.0)
-    return send, overflow.astype(jnp.int32)
 
 
 def _compose(front, back):
@@ -247,6 +238,11 @@ def make_depth_ring_render(
         return img, trans, aux["radii"], scalars
 
     def f(model, camera, background, with_aux: bool = False):
+        if (camera.width, camera.height) != (width, height):
+            raise ValueError(
+                f"camera is {camera.width}x{camera.height} but this renderer "
+                f"was built for {width}x{height}"
+            )
         img, trans, radii, scalars = _sharded(model, camera, background)
         if not with_aux:
             return img, trans

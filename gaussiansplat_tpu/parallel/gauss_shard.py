@@ -66,6 +66,35 @@ def shard_model(model: GaussianModel, mesh: Mesh) -> GaussianModel:
     )
 
 
+def pack_to_destinations(
+    payload: jax.Array,     # (n, 16) rows to gather from
+    dest: jax.Array,        # (m,) int32 destination per entry; n_dest = drop
+    src_ids: jax.Array,     # (m,) int32 payload row per entry
+    n_dest: int,
+    send_cap: int,
+):
+    """Shared fixed-capacity destination pack (used by the strip router and
+    the depth-slab router): one key sort groups entries by destination,
+    searchsorted finds segment starts, and a masked slot gather emits the
+    (n_dest, send_cap, 16) send buffer plus the dropped-entry count."""
+    m = dest.shape[0]
+    sorted_dest, sorted_ids = jax.lax.sort(
+        (jax.lax.stop_gradient(dest), src_ids), num_keys=1
+    )
+    starts = jnp.searchsorted(
+        sorted_dest, jnp.arange(n_dest + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    seg_len = starts[1:] - starts[:-1]
+    overflow = jnp.sum(jnp.maximum(seg_len - send_cap, 0))
+
+    slot = jnp.arange(send_cap, dtype=jnp.int32)[None, :]  # (1, K)
+    gather_pos = jnp.clip(starts[:-1, None] + slot, 0, m - 1)
+    ok = slot < seg_len[:, None]                           # (n_dest, K)
+    gidx = jnp.where(ok, sorted_ids[gather_pos], 0)
+    send = jnp.where(ok[..., None], payload[gidx], 0.0)
+    return send, overflow.astype(jnp.int32)
+
+
 def pack_by_strip(
     payload: jax.Array,     # (n, 16) local projected payload
     n_strips: int,
@@ -101,18 +130,9 @@ def pack_by_strip(
     in_range = (pos < jnp.minimum(total, expand_cap)) & (k >= 0) & (k < counts[ids])
     dest = jnp.where(in_range, s0[ids] + k, n_strips).astype(jnp.int32)
 
-    sorted_dest, sorted_ids = jax.lax.sort((dest, ids), num_keys=1)
-    dest_starts = jnp.searchsorted(
-        sorted_dest, jnp.arange(n_strips + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    seg_len = dest_starts[1:] - dest_starts[:-1]          # (n_strips,)
-    send_overflow = jnp.sum(jnp.maximum(seg_len - send_cap, 0))
-
-    slot = jnp.arange(send_cap, dtype=jnp.int32)[None, :]  # (1, K)
-    gather_pos = jnp.clip(dest_starts[:-1, None] + slot, 0, expand_cap - 1)
-    entry_ok = slot < seg_len[:, None]                     # (n_strips, K)
-    gidx = jnp.where(entry_ok, sorted_ids[gather_pos], 0)
-    send = jnp.where(entry_ok[..., None], payload[gidx], 0.0)
+    send, send_overflow = pack_to_destinations(
+        payload, dest, ids, n_strips, send_cap
+    )
     return send, (expand_overflow + send_overflow).astype(jnp.int32)
 
 
