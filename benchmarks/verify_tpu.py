@@ -109,6 +109,41 @@ def main():
         scale = np.abs(xg[k]).max() + 1e-8
         ok &= check(f"grad[{k}]", qg[k] / scale, xg[k] / scale, 2e-2)
 
+    # Strip rendering (tile_row0/tile_rows) on hardware: the multi-chip paths
+    # rasterize per-strip with these kernels; interpret mode cannot catch a
+    # Mosaic lowering issue in the scalar-prefetched dynamic row offset.
+    print("pallas STRIPS (packed) vs full-frame pallas:")
+    from gaussiansplat_tpu.ops.binning import bin_gaussians, tile_grid
+    from gaussiansplat_tpu.ops.projection import make_payload, project_gaussians
+    from gaussiansplat_tpu.ops.raster_dispatch import rasterize_payload
+
+    cfg = RasterConfig(packed=True, trans_eps=0.0)
+    _, tiles_y = tile_grid(cam.width, cam.height, cfg.tile_size)
+    n_strips = 4
+    assert tiles_y % n_strips == 0, (tiles_y, n_strips)
+    rows = tiles_y // n_strips
+
+    @jax.jit
+    def strips(p):
+        m = model.with_params(p)
+        proj = project_gaussians(
+            m.means, m.quats, m.log_scales, m.logit_opacities, m.sh,
+            cam, cfg, sh_degree=2, alive=m.alive)
+        payload = make_payload(proj)
+        parts = []
+        for s in range(n_strips):
+            binning = bin_gaussians(
+                proj, cam.width, cam.height, cfg, tile_row0=jnp.int32(s * rows),
+                tile_rows=rows, impl="pallas")
+            out = rasterize_payload(
+                payload, binning, bg, cam.width, cam.height, cfg, "pallas",
+                tile_row0=jnp.int32(s * rows), tile_rows=rows)
+            parts.append(out.image)
+        return jnp.concatenate(parts, axis=0)[: cam.height]
+
+    si = np.asarray(strips(params))
+    ok &= check("strip image", si, qi, 1e-5)
+
     print("OK" if ok else "FAILED")
     return 0 if ok else 1
 

@@ -65,6 +65,7 @@ def _bwd_kernel(
     # scalar prefetch
     tile_starts_ref,   # (T+1,) int32 SMEM
     stops_ref,         # (T,) int32 SMEM — chunks processed by forward
+    row0_ref,          # (1,) int32 SMEM — first tile row of this strip
     # inputs
     payload_ref,       # (NCH, Ppad) f32 HBM
     cot_ref,           # (1, NOUT, PX) VMEM: rows dR,dG,dB, dlogT, dWsum, dDepth
@@ -104,8 +105,10 @@ def _bwd_kernel(
     n_live = jnp.maximum(jnp.minimum(stop, n_chunks), jnp.minimum(n_chunks, 1))
 
     # Half-tile shift pairs with the centered pixel_basis (exact-bf16 ints).
+    # row0 offsets the tile row for tile-strip sharding (see forward.py).
     ox = ((t % tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
-    oy = ((t // tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
+    oy = ((t // tiles_x + row0_ref[0]) * tile_size
+          + tile_size // 2).astype(jnp.float32)
 
     basis = pixel_basis(tile_size)       # (PX, 8)
     tri = tri_incl(cs)
@@ -307,12 +310,19 @@ def rasterize_backward(
     cfg: RasterConfig,
     interpret: bool = False,
     packed: bool = False,
+    tile_row0=None,
+    tile_rows=None,
 ) -> jax.Array:
     """Returns dpayload_t, same layout (and packing) as payload_t; entries
     never touched by any tile are garbage and must be masked by the caller
     (entry index < num_pairs)."""
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
-    num_tiles = tiles_x * tiles_y
+    if tile_rows is None:
+        tile_rows = tiles_y
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
+    row0 = jnp.asarray(tile_row0, jnp.int32).reshape((1,))
+    num_tiles = tiles_x * tile_rows
     px = cfg.tile_size * cfg.tile_size
     nch_io = NCH_PACKED if packed else NCH
     assert payload_t.shape[0] == nch_io
@@ -328,7 +338,7 @@ def rasterize_backward(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -353,5 +363,5 @@ def rasterize_backward(
         out_shape=jax.ShapeDtypeStruct(payload_t.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_starts, stops, payload_t, cot_tiles, fwd_tiles)
+    )(tile_starts, stops, row0, payload_t, cot_tiles, fwd_tiles)
     return dpayload_t

@@ -53,6 +53,7 @@ from .common import (
 def _fwd_kernel(
     # scalar prefetch
     tile_starts_ref,   # (T+1,) int32 in SMEM
+    row0_ref,          # (1,) int32 in SMEM — first tile row of this strip
     # inputs
     payload_ref,       # (NCH, Ppad) f32 in HBM/ANY
     # outputs
@@ -82,8 +83,11 @@ def _fwd_kernel(
     n_chunks = (end - base + cs - 1) // cs
 
     # Half-tile shift pairs with the centered pixel_basis (exact-bf16 ints).
+    # row0 offsets the tile row for tile-strip sharding: the grid (and t)
+    # are strip-LOCAL, but payload means are in global pixel coordinates.
     ox = ((t % tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
-    oy = ((t // tiles_x) * tile_size + tile_size // 2).astype(jnp.float32)
+    oy = ((t // tiles_x + row0_ref[0]) * tile_size
+          + tile_size // 2).astype(jnp.float32)
 
     basis = pixel_basis(tile_size)     # (PX, 8)
     tri = tri_incl(cs)                 # (CS, CS)
@@ -186,12 +190,19 @@ def rasterize_forward(
     cfg: RasterConfig,
     interpret: bool = False,
     packed: bool = False,
+    tile_row0=None,            # dynamic first tile row (tile-sharded strips)
+    tile_rows=None,            # static number of tile rows to render
 ):
     """Returns out_tiles (T, NOUT, PX); row OUT_STOP holds the per-tile\n    stop-chunk count (broadcast across the pixel row, exact in f32)."""
     import math
 
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
-    num_tiles = tiles_x * tiles_y
+    if tile_rows is None:
+        tile_rows = tiles_y
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
+    row0 = jnp.asarray(tile_row0, jnp.int32).reshape((1,))
+    num_tiles = tiles_x * tile_rows
     px = cfg.tile_size * cfg.tile_size
     nch_in = NCH_PACKED if packed else NCH
     assert payload_t.shape[0] == nch_in
@@ -208,7 +219,7 @@ def rasterize_forward(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, NOUT, px), lambda t, *_: (t, 0, 0),
@@ -219,13 +230,13 @@ def rasterize_forward(
         ],
     )
 
-    def squeeze_kernel(ts_ref, payload_ref, out_ref, chunk_buf, sems):
-        kernel(ts_ref, payload_ref, out_ref.at[0], chunk_buf, sems)
+    def squeeze_kernel(ts_ref, row0_ref, payload_ref, out_ref, chunk_buf, sems):
+        kernel(ts_ref, row0_ref, payload_ref, out_ref.at[0], chunk_buf, sems)
 
     out_tiles = pl.pallas_call(
         squeeze_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, NOUT, px), jnp.float32),
         interpret=interpret,
-    )(tile_starts, payload_t)
+    )(tile_starts, row0, payload_t)
     return out_tiles

@@ -65,35 +65,41 @@ def _image_cotangents(cots, out_tiles, background, ts):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool):
+def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool,
+                     tile_rows=None):
     ts = cfg.tile_size
     cs = cfg.chunk_size
+    strip = tile_rows is not None
+    # Strips render tile_rows * ts uncropped pixel rows (strips compose to
+    # the padded image; the caller crops), matching the XLA twin's contract.
+    img_h = tile_rows * ts if strip else height
 
     @jax.custom_vjp
-    def raster(sorted_payload, tile_starts, background):
-        img, trans, *_ = _fwd(sorted_payload, tile_starts, background)
+    def raster(sorted_payload, tile_starts, background, tile_row0):
+        img, trans, *_ = _fwd(sorted_payload, tile_starts, background, tile_row0)
         return img, trans
 
-    def _fwd(sorted_payload, tile_starts, background):
+    def _fwd(sorted_payload, tile_starts, background, tile_row0):
         payload_t = jnp.concatenate(
             [sorted_payload.T, jnp.zeros((PAYLOAD_DIM, cs), jnp.float32)],
             axis=1,
         )  # (NCH, P + CS): aligned chunk windows may poke past the last entry
         out_tiles = rasterize_forward(
-            payload_t, tile_starts, width, height, cfg, interpret=interpret
+            payload_t, tile_starts, width, height, cfg, interpret=interpret,
+            tile_row0=tile_row0, tile_rows=tile_rows,
         )
-        image, trans = _compose_outputs(out_tiles, background, width, height, ts)
+        image, trans = _compose_outputs(out_tiles, background, width, img_h, ts)
         return image, trans, payload_t, out_tiles
 
-    def raster_fwd(sorted_payload, tile_starts, background):
+    def raster_fwd(sorted_payload, tile_starts, background, tile_row0):
         image, trans, payload_t, out_tiles = _fwd(
-            sorted_payload, tile_starts, background
+            sorted_payload, tile_starts, background, tile_row0
         )
-        res = (payload_t, tile_starts, background, out_tiles)
+        res = (payload_t, tile_starts, background, out_tiles, tile_row0)
         return (image, trans), res
 
     def raster_bwd(res, cots):
-        payload_t, tile_starts, background, out_tiles = res
+        payload_t, tile_starts, background, out_tiles, tile_row0 = res
         stops = out_tiles[:, OUT_STOP, 0].astype(jnp.int32)
         p = payload_t.shape[1] - cs
         cot_tiles, dbg = _image_cotangents(cots, out_tiles, background, ts)
@@ -101,6 +107,7 @@ def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool
         dpayload_t = rasterize_backward(
             payload_t, tile_starts, stops, cot_tiles, out_tiles,
             width, height, cfg, interpret=interpret,
+            tile_row0=tile_row0, tile_rows=tile_rows,
         )
         dsorted = dpayload_t[:, :p].T
         # Entries past the last valid pair were never written: mask garbage.
@@ -108,7 +115,8 @@ def _make_rasterizer(width: int, height: int, cfg: RasterConfig, interpret: bool
         dsorted = jnp.where(valid[:, None], dsorted, 0.0)
 
         d_starts = jnp.zeros_like(tile_starts)  # integer: no real cotangent
-        return dsorted, d_starts, dbg
+        d_row0 = np.zeros(jnp.shape(tile_row0), jax.dtypes.float0)
+        return dsorted, d_starts, dbg, d_row0
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster
@@ -122,9 +130,14 @@ def rasterize_tiles_pallas(
     height: int,
     cfg: RasterConfig,
     interpret: bool = False,
+    tile_row0=None,              # dynamic first tile row (tile-sharded strips)
+    tile_rows=None,              # static number of tile rows to render
 ) -> RasterOut:
-    f = _make_rasterizer(width, height, cfg, interpret)
-    image, trans = f(sorted_payload, tile_starts, background)
+    f = _make_rasterizer(width, height, cfg, interpret, tile_rows)
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
+    image, trans = f(sorted_payload, tile_starts, background,
+                     jnp.asarray(tile_row0, jnp.int32))
     seg_len = tile_starts[1:] - tile_starts[:-1]
     needed = (jnp.max(seg_len) + cfg.chunk_size - 1) // cfg.chunk_size
     return RasterOut(image=image, transmittance=trans, max_chunks_needed=needed)
@@ -132,7 +145,7 @@ def rasterize_tiles_pallas(
 
 @functools.lru_cache(maxsize=None)
 def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
-                            interpret: bool):
+                            interpret: bool, tile_rows=None):
     """Fused packed pipeline: the custom_vjp boundary is the (N, NCH)
     per-gaussian payload — packing (bf16 color/opacity/depth), the sorted
     P-gather, the raster kernels, and the gather-VJP's un-permute + segment
@@ -140,6 +153,8 @@ def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
     and every P-proportional stream moves 8 lanes instead of 16."""
     ts = cfg.tile_size
     cs = cfg.chunk_size
+    strip = tile_rows is not None
+    img_h = tile_rows * ts if strip else height
 
     @jax.custom_vjp
     def raster(payload, binfields, background):
@@ -158,8 +173,9 @@ def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
         out_tiles = rasterize_forward(
             payload_t, bf["tile_starts"], width, height, cfg,
             interpret=interpret, packed=True,
+            tile_row0=bf["tile_row0"], tile_rows=tile_rows,
         )
-        image, trans = _compose_outputs(out_tiles, background, width, height, ts)
+        image, trans = _compose_outputs(out_tiles, background, width, img_h, ts)
         return image, trans, payload_t, out_tiles
 
     def raster_fwd(payload, bf, background):
@@ -175,6 +191,7 @@ def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
         dpacked_t = rasterize_backward(
             payload_t, bf["tile_starts"], stops, cot_tiles, out_tiles,
             width, height, cfg, interpret=interpret, packed=True,
+            tile_row0=bf["tile_row0"], tile_rows=tile_rows,
         )                                              # (8, P + cs)
         dpayload = reduce_pair_grads_packed_t(
             dpacked_t[:, :p],
@@ -203,9 +220,13 @@ def rasterize_payload_pallas(
     height: int,
     cfg: RasterConfig,
     interpret: bool = False,
+    tile_row0=None,              # dynamic first tile row (tile-sharded strips)
+    tile_rows=None,              # static number of tile rows to render
 ) -> RasterOut:
     """Packed fast path: differentiable w.r.t. `payload` and `background`."""
-    f = _make_packed_rasterizer(width, height, cfg, interpret)
+    f = _make_packed_rasterizer(width, height, cfg, interpret, tile_rows)
+    if tile_row0 is None:
+        tile_row0 = jnp.int32(0)
     binfields = dict(
         depth_order=binning.depth_order,
         sorted_ranks=binning.sorted_ranks,
@@ -213,6 +234,7 @@ def rasterize_payload_pallas(
         seg_offsets=binning.seg_offsets,
         num_pairs=binning.num_pairs,
         tile_starts=binning.tile_starts,
+        tile_row0=jnp.asarray(tile_row0, jnp.int32),
     )
     image, trans = f(payload, binfields, background)
     ts = binning.tile_starts

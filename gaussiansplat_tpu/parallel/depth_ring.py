@@ -15,7 +15,12 @@ hazard (SURVEY §7 hard part (c)) resolved by depth-partitioning: slabs are
 equal-count quantiles of a global depth histogram (one small psum), so
 composing slab partials front-to-back reproduces the exact global
 depth order — per-pixel results match the single-device renderer to
-float tolerance, not approximately.
+float tolerance, not approximately. One caveat: gaussians with EQUAL
+depth (same histogram bin) may composite in a different tie-break order
+than the single-device (depth, index) sort — e.g. freshly cloned
+duplicates right after densification. Ties between identical splats are
+symmetric (same composite); distinct equal-depth splats assume distinct
+depths for exactness.
 
 The reference has no distribution of any kind (SURVEY §2.4); this module
 and gauss_shard are the TPU-native answers to scaling the gaussian axis
@@ -48,7 +53,7 @@ from ..ops.projection import (
     payload_to_projected,
     project_gaussians,
 )
-from ..ops.tile_raster import rasterize_tiles_xla
+from ..ops.raster_dispatch import rasterize_payload
 from .gauss_shard import GAUSS_AXIS, pack_to_destinations
 
 # Static log-depth histogram resolution for the slab quantiles. 512 bins
@@ -129,6 +134,7 @@ def render_depth_ring(
     send_cap: int,
     axis_name: str = GAUSS_AXIS,
     xla_max_chunks: int = 64,
+    impl: str = "xla",
 ):
     """Per-device body (inside shard_map): project local shard, route
     payloads to depth-slab owners, rasterize the full grid for my slab,
@@ -161,26 +167,38 @@ def render_depth_ring(
     binning = bin_gaussians(
         proj2, camera.width, camera.height, cfg,
         capacity=cfg.pair_capacity(flat.shape[0]),
+        impl=impl,
     )
-    sorted_payload = binning.gather_payload(flat)
-    out = rasterize_tiles_xla(
-        sorted_payload, binning.tile_starts, jnp.zeros((3,), jnp.float32),
-        camera.width, camera.height, cfg, max_chunks=xla_max_chunks,
+    out = rasterize_payload(
+        flat, binning, jnp.zeros((3,), jnp.float32),
+        camera.width, camera.height, cfg,
+        impl, xla_max_chunks=xla_max_chunks,
     )
     # The raster composited over black; recover this slab's own partials.
     log_t = jnp.log(jnp.maximum(out.transmittance, 1e-30))
     v = (out.image, log_t)
 
-    # Ring reduction: D-1 ppermute rotations of the ORIGINAL partials; the
-    # accumulator on device i composes slabs [i, i+k) in ring order, so only
-    # device 0's wraparound-free prefix is the true composite — broadcast it
-    # with a masked psum. (log2-tree doubling halves the step count for
-    # power-of-two D; D-1 single steps keep any D exact and simple.)
+    # Ring reduction; on device i the accumulator composes slabs [i, i+k) in
+    # ring order, so only device 0's wraparound-free prefix is the true
+    # composite — broadcast it with a masked psum. For power-of-two D the
+    # hops double: after step s, acc_i covers [i, i + 2^s), and receiving
+    # acc_{i+2^s} (which covers the ADJACENT segment [i+2^s, i+2^{s+1}))
+    # extends it associatively — log2(D) full-image hops instead of D-1.
+    # Compositing is associative over contiguous depth segments, so the
+    # doubled combine is exact, not approximate.
     acc = v
-    for k in range(1, n_slabs):
-        perm = [(i, (i - k) % n_slabs) for i in range(n_slabs)]
-        u = jax.lax.ppermute(v, axis_name, perm)          # device i gets v_{i+k}
-        acc = _compose(acc, u)
+    if n_slabs & (n_slabs - 1) == 0:
+        span = 1
+        while span < n_slabs:
+            perm = [(i, (i - span) % n_slabs) for i in range(n_slabs)]
+            u = jax.lax.ppermute(acc, axis_name, perm)    # device i gets acc_{i+span}
+            acc = _compose(acc, u)
+            span *= 2
+    else:  # any D: D-1 single rotations of the original partials
+        for k in range(1, n_slabs):
+            perm = [(i, (i - k) % n_slabs) for i in range(n_slabs)]
+            u = jax.lax.ppermute(v, axis_name, perm)      # device i gets v_{i+k}
+            acc = _compose(acc, u)
     full = jax.tree_util.tree_map(
         lambda x: jax.lax.psum(jnp.where(d == 0, x, jnp.zeros_like(x)),
                                axis_name),
@@ -207,10 +225,14 @@ def make_depth_ring_render(
     sh_degree: int,
     send_cap: Optional[int] = None,
     xla_max_chunks: int = 64,
+    impl: Optional[str] = None,
 ):
     """Build a jit-able `f(model, camera, background) -> (image, trans)` with
     the model sharded over the mesh's `gauss` axis (use
     `gauss_shard.shard_model`). The returned image is replicated."""
+    from .render import resolve_shard_impl
+
+    impl = resolve_shard_impl(impl if impl is not None else cfg.impl)
     nd = mesh.shape[GAUSS_AXIS]
 
     @functools.partial(
@@ -227,7 +249,7 @@ def make_depth_ring_render(
             cap = max(2 * model.capacity // nd, 256)
         img, trans, aux = render_depth_ring(
             model, camera, cfg, sh_degree, background, nd, cap,
-            xla_max_chunks=xla_max_chunks,
+            xla_max_chunks=xla_max_chunks, impl=impl,
         )
         scalars = jnp.stack([
             jax.lax.psum(aux["overflow"].astype(jnp.float32), GAUSS_AXIS),

@@ -47,7 +47,7 @@ from ..ops.projection import (
     payload_to_projected,
     project_gaussians,
 )
-from ..ops.tile_raster import rasterize_tiles_xla
+from ..ops.raster_dispatch import rasterize_payload
 
 GAUSS_AXIS = "gauss"
 
@@ -148,6 +148,7 @@ def render_gauss_sharded_strip(
     axis_name: str = GAUSS_AXIS,
     xla_max_chunks: int = 64,
     mean2d_offset: Optional[jax.Array] = None,   # (n_local, 2)
+    impl: str = "xla",
 ):
     """Body run per device inside shard_map: project local shard, exchange
     payloads, rasterize my strip. Returns (strip_img, strip_trans, aux)."""
@@ -182,11 +183,11 @@ def render_gauss_sharded_strip(
             cfg.pair_capacity(n_strips * send_cap) // n_strips,
             4 * cfg.chunk_size,
         ),
+        impl=impl,
     )
-    sorted_payload = binning.gather_payload(flat)
-    out = rasterize_tiles_xla(
-        sorted_payload, binning.tile_starts, background,
-        camera.width, camera.height, cfg, max_chunks=xla_max_chunks,
+    out = rasterize_payload(
+        flat, binning, background, camera.width, camera.height, cfg,
+        impl, xla_max_chunks=xla_max_chunks,
         tile_row0=d * rows, tile_rows=rows,
     )
     aux = dict(
@@ -206,10 +207,14 @@ def make_gauss_sharded_render(
     sh_degree: int,
     send_cap: Optional[int] = None,
     xla_max_chunks: int = 64,
+    impl: Optional[str] = None,
 ):
     """Build jit-able `f(model, camera, background) -> (image, trans)` with
     the model sharded over the mesh's gauss axis (use `shard_model`).
     The tile grid's rows must divide evenly across devices."""
+    from .render import resolve_shard_impl
+
+    impl = resolve_shard_impl(impl if impl is not None else cfg.impl)
     nd = mesh.shape[GAUSS_AXIS]
     ts = cfg.tile_size
     tiles_x, tiles_y = tile_grid(width, height, ts)
@@ -239,6 +244,7 @@ def make_gauss_sharded_render(
         img, trans, aux = render_gauss_sharded_strip(
             model, camera, cfg, sh_degree, background, nd, rows, cap,
             xla_max_chunks=xla_max_chunks, mean2d_offset=mean2d_offset,
+            impl=impl,
         )
         scalars = jnp.stack([
             jax.lax.psum(aux["overflow"].astype(jnp.float32), GAUSS_AXIS),

@@ -51,12 +51,13 @@ def make_gauss_sharded_train_step(
     sh_degree: int,
     send_cap: Optional[int] = None,
     xla_max_chunks: int = 64,
+    impl: Optional[str] = None,
 ):
     """Build `step(state, camera, gt) -> (state, metrics)` over sharded
     parameters. `gt` is the full (H, W, 3) target, replicated."""
     render_fn = make_gauss_sharded_render(
         mesh, raster_cfg, width, height, sh_degree,
-        send_cap=send_cap, xla_max_chunks=xla_max_chunks,
+        send_cap=send_cap, xla_max_chunks=xla_max_chunks, impl=impl,
     )
 
     def step(state: TrainState, camera: Camera, gt: jax.Array):

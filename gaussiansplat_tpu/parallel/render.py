@@ -26,8 +26,16 @@ from ..models.gaussians import GaussianModel
 from ..ops.binning import bin_gaussians, tile_grid
 from ..ops.camera import Camera
 from ..ops.projection import make_payload, project_gaussians
-from ..ops.tile_raster import rasterize_tiles_xla
+from ..ops.raster_dispatch import rasterize_payload
 from .mesh import TILE_AXIS
+
+
+def resolve_shard_impl(impl: Optional[str]) -> str:
+    """Resolve the raster backend for sharded renderers ('auto' -> fused
+    Pallas kernels on TPU, the XLA twin elsewhere)."""
+    if impl is None or impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
 
 
 def render_strip(
@@ -41,6 +49,7 @@ def render_strip(
     pair_capacity: int,
     mean2d_offset: Optional[jax.Array] = None,
     xla_max_chunks: int = 64,
+    impl: str = "xla",
 ):
     """Render `tile_rows` tile rows starting at dynamic row `tile_row0`.
     Returns (strip_image (rows*ts, W, 3), strip_trans, aux dict). Runs inside
@@ -54,12 +63,12 @@ def render_strip(
     binning = bin_gaussians(
         proj, camera.width, camera.height, cfg,
         tile_row0=tile_row0, tile_rows=tile_rows, capacity=pair_capacity,
+        impl=impl,
     )
     payload = make_payload(proj)
-    sorted_payload = binning.gather_payload(payload)
-    out = rasterize_tiles_xla(
-        sorted_payload, binning.tile_starts, background,
-        camera.width, camera.height, cfg, max_chunks=xla_max_chunks,
+    out = rasterize_payload(
+        payload, binning, background, camera.width, camera.height, cfg,
+        impl, xla_max_chunks=xla_max_chunks,
         tile_row0=tile_row0, tile_rows=tile_rows,
     )
     aux = dict(
@@ -78,10 +87,13 @@ def make_tile_sharded_render(
     height: int,
     sh_degree: int,
     xla_max_chunks: int = 64,
+    impl: Optional[str] = None,
 ):
     """Build a jit-able `f(model, camera, background) -> (image, trans)` that
     shards the tile grid over the mesh's tile axis. The returned image is the
-    tile-padded (Hp, W) frame; callers crop to `height`."""
+    tile-padded (Hp, W) frame; callers crop to `height`. Each strip runs the
+    fused Pallas kernels on TPU ('auto'); pass impl='xla' for the oracle."""
+    impl = resolve_shard_impl(impl if impl is not None else cfg.impl)
     ntile = mesh.shape[TILE_AXIS]
     ts = cfg.tile_size
     tiles_x, tiles_y = tile_grid(width, height, ts)
@@ -106,7 +118,7 @@ def make_tile_sharded_render(
         pair_cap = max(cfg.pair_capacity(n) // ntile, 4 * cfg.chunk_size)
         img, trans, _ = render_strip(
             model, camera, cfg, sh_degree, background, row0, rows, pair_cap,
-            xla_max_chunks=xla_max_chunks,
+            xla_max_chunks=xla_max_chunks, impl=impl,
         )
         return img[None, None], trans[None, None]
 

@@ -59,6 +59,7 @@ def make_sharded_train_step(
     sh_degree: int,
     xla_max_chunks: int = 64,
     return_grads: bool = False,
+    impl: Optional[str] = None,
 ):
     """Build `step(state, cams (B,...), gts (B, Hp, W, 3)) -> (state, metrics)`.
 
@@ -66,6 +67,9 @@ def make_sharded_train_step(
     tile-aligned height Hp (pad rows replicate the rendered background and
     contribute zero L1 once both sides agree; use `pad_targets`).
     """
+    from .render import resolve_shard_impl
+
+    impl = resolve_shard_impl(impl if impl is not None else raster_cfg.impl)
     ndata = mesh.shape[DATA_AXIS]
     ntile = mesh.shape[TILE_AXIS]
     ts = raster_cfg.tile_size
@@ -117,7 +121,7 @@ def make_sharded_train_step(
             img, trans, aux = render_strip(
                 m, cam, raster_cfg, sh_degree, background, row0, rows,
                 pair_cap, mean2d_offset=offset2d,
-                xla_max_chunks=xla_max_chunks,
+                xla_max_chunks=xla_max_chunks, impl=impl,
             )
             img = jnp.where(row_mask, img, 0.0)
             gt = jnp.where(row_mask, gt_strip, 0.0)

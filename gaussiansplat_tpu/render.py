@@ -25,10 +25,10 @@ from flax import struct
 
 from .config import RasterConfig
 from .models.gaussians import GaussianModel
-from .ops.binning import bin_gaussians, tile_grid
+from .ops.binning import bin_gaussians
 from .ops.camera import Camera
 from .ops.projection import make_payload, project_gaussians
-from .ops.tile_raster import rasterize_tiles_xla
+from .ops.raster_dispatch import rasterize_payload
 
 
 @struct.dataclass
@@ -84,45 +84,10 @@ def render(
     binning = bin_gaussians(proj, camera.width, camera.height, cfg, impl=impl)
     payload = make_payload(proj)
 
-    if impl == "xla":
-        sorted_payload = binning.gather_payload(payload, impl=impl)
-        out = rasterize_tiles_xla(
-            sorted_payload,
-            binning.tile_starts,
-            background,
-            camera.width,
-            camera.height,
-            cfg,
-            max_chunks=xla_max_chunks,
-        )
-    elif impl in ("pallas", "pallas_interpret"):
-        if cfg.packed:
-            from .ops.pallas.rasterize import rasterize_payload_pallas
-
-            out = rasterize_payload_pallas(
-                payload,
-                binning,
-                background,
-                camera.width,
-                camera.height,
-                cfg,
-                interpret=(impl == "pallas_interpret"),
-            )
-        else:
-            from .ops.pallas.rasterize import rasterize_tiles_pallas
-
-            sorted_payload = binning.gather_payload(payload, impl=impl)
-            out = rasterize_tiles_pallas(
-                sorted_payload,
-                binning.tile_starts,
-                background,
-                camera.width,
-                camera.height,
-                cfg,
-                interpret=(impl == "pallas_interpret"),
-            )
-    else:
-        raise ValueError(f"unknown rasterizer impl: {impl!r}")
+    out = rasterize_payload(
+        payload, binning, background, camera.width, camera.height, cfg,
+        impl, xla_max_chunks=xla_max_chunks,
+    )
 
     return RenderOutput(
         image=out.image,

@@ -89,3 +89,24 @@ class TestDepthRing:
         np.testing.assert_allclose(
             np.asarray(img), np.broadcast_to(bg, (H, W, 3)), atol=1e-6)
         np.testing.assert_allclose(np.asarray(trans), 1.0, atol=1e-6)
+
+
+class TestDepthRingPallas:
+    def test_pallas_impl_matches_single_device(self, mesh):
+        """Depth-slab partials rendered by the fused Pallas kernels
+        (interpret mode) instead of the XLA twin (VERDICT round 1, item 1)."""
+        model, cam = _scene()
+        bg = jnp.array([0.15, 0.3, 0.45])
+        cfg = RasterConfig(tile_size=16, chunk_size=32, impl="xla",
+                           trans_eps=0.0, packed=False)
+        ref = render(model, cam, cfg, sh_degree=1, background=bg, impl="xla",
+                     xla_max_chunks=256)
+        f = make_depth_ring_render(mesh, cfg, W, H, sh_degree=1,
+                                   xla_max_chunks=256,
+                                   impl="pallas_interpret")
+        smodel = shard_model(model, mesh)
+        img, trans = jax.jit(f)(smodel, cam, bg)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(trans),
+                                   np.asarray(ref.transmittance), atol=2e-4)

@@ -141,3 +141,21 @@ class TestGaussShardedTrain:
             state, m = step(state, cam, jnp.clip(ref, 0, 1))
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestGaussShardPallas:
+    def test_pallas_impl_matches_single_device(self):
+        """The all_to_all strip router must drive the fused Pallas kernels
+        (interpret mode), not only the XLA twin (VERDICT round 1, item 1)."""
+        model, cam = setup()
+        mesh = make_gauss_mesh(4)
+        smodel = shard_model(model, mesh)
+        bg = jnp.array([0.15, 0.25, 0.35])
+        cfg = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                           packed=False)
+        f = jax.jit(make_gauss_sharded_render(
+            mesh, cfg, cam.width, cam.height, 1, impl="pallas_interpret"))
+        img, trans = f(smodel, cam, bg)
+        ref = render(model, cam, cfg, sh_degree=1, background=bg, impl="xla")
+        np.testing.assert_allclose(img, ref.image, atol=1e-4)
+        np.testing.assert_allclose(trans, ref.transmittance, atol=1e-4)

@@ -113,3 +113,53 @@ class TestShardedTrainStep:
         state2, metrics = step(state, cams, gts)
         assert int(state2.step) == 1
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardedPallasStrips:
+    """The sharded paths must run the fused Pallas kernels (interpret mode on
+    CPU), not just the XLA twin — strip rendering via tile_row0/tile_rows in
+    ops/pallas/{forward,backward}.py (VERDICT round 1, item 1)."""
+
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_strip_pallas_matches_single_device(self, packed):
+        model, cam = setup()
+        cfg = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                           packed=packed)
+        mesh = make_mesh(data=1, tile=4)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        f = jax.jit(make_tile_sharded_render(
+            mesh, cfg, cam.width, cam.height, 1, impl="pallas_interpret"))
+        img_s, trans_s = f(model, cam, bg)
+        ref = render(model, cam, cfg, sh_degree=1, background=bg, impl="xla")
+        tol = 8e-3 if packed else 1e-4  # bf16-packed quantization envelope
+        np.testing.assert_allclose(img_s, ref.image, atol=tol)
+        np.testing.assert_allclose(trans_s, ref.transmittance, atol=tol)
+
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_strip_pallas_grads_match_single_device(self, packed):
+        model, cam = setup(n=128, width=64, height=64)
+        cfg = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                           packed=packed)
+        mesh = make_mesh(data=1, tile=2)
+        bg = jnp.zeros((3,))
+        f = jax.jit(make_tile_sharded_render(
+            mesh, cfg, cam.width, cam.height, 1, impl="pallas_interpret"))
+        params = model.trainable()
+
+        def loss_sharded(p):
+            img, _ = f(model.with_params(p), cam, bg)
+            return jnp.sum(img ** 2)
+
+        def loss_single(p):
+            o = render(model.with_params(p), cam, cfg, sh_degree=1,
+                       background=bg, impl="xla")
+            return jnp.sum(o.image ** 2)
+
+        g1 = jax.grad(loss_sharded)(params)
+        g2 = jax.grad(loss_single)(params)
+        rtol = 2e-2 if packed else 1e-4
+        for name in g1:
+            a, b = np.asarray(g1[name]), np.asarray(g2[name])
+            scale = max(np.abs(b).max(), 1e-6)
+            np.testing.assert_allclose(a / scale, b / scale, atol=rtol,
+                                       err_msg=name)
