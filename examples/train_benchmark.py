@@ -1,0 +1,92 @@
+"""BASELINE config-2-class quality run on the bundled benchmark scene.
+
+No external datasets exist in this environment (zero egress), so quality is
+demonstrated on the bundled 150k-gaussian multi-object scene
+(`data/benchmark.py`): train from a sparse noisy init through the full
+densify/prune/SH schedule and report held-out PSNR/SSIM into
+<out>/metrics.jsonl + preview PNGs. Results are recorded in BASELINE.md.
+
+    python examples/train_benchmark.py --iterations 7000 --out runs/benchmark
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gsplat_tpu_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main():
+    from gaussiansplat_tpu.config import RasterConfig, TrainConfig
+    from gaussiansplat_tpu.data.benchmark import benchmark_scene
+    from gaussiansplat_tpu.train import Trainer
+    from gaussiansplat_tpu.train.trainer import evaluate, make_eval_fn
+    from gaussiansplat_tpu.utils import MetricLogger, export_ply
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=7000)
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--n-points", type=int, default=150_000)
+    ap.add_argument("--init-points", type=int, default=20_000)
+    ap.add_argument("--capacity", type=int, default=262_144)
+    ap.add_argument("--sh-degree", type=int, default=3)
+    ap.add_argument("--out", default="runs/benchmark")
+    ap.add_argument("--impl", default=None)
+    args = ap.parse_args()
+
+    print(f"backend={jax.default_backend()}; building scene ...", flush=True)
+    scene, _ = benchmark_scene(
+        n_points=args.n_points, width=args.size, height=args.size,
+        init_points=args.init_points, capacity=args.capacity,
+        impl=args.impl,
+    )
+    print(f"scene '{scene.name}': {len(scene.train_views)} train / "
+          f"{len(scene.test_views)} test views, "
+          f"init {int(scene.init_model.num_alive)} gaussians "
+          f"(capacity {scene.init_model.capacity})", flush=True)
+
+    tcfg = TrainConfig(
+        iterations=args.iterations,
+        sh_degree=args.sh_degree,
+        densify_end=min(15_000, args.iterations // 2 * 2),
+        eval_every=500,
+        log_every=100,
+    )
+    rcfg = RasterConfig()
+    os.makedirs(args.out, exist_ok=True)
+    logger = MetricLogger(os.path.join(args.out, "metrics.jsonl"))
+    trainer = Trainer(raster_cfg=rcfg, cfg=tcfg, impl=args.impl)
+    model, metrics = trainer.fit(
+        scene.init_model, scene.train_views,
+        log=logger.log,
+        eval_views=scene.test_views,
+        preview_dir=os.path.join(args.out, "previews"),
+    )
+
+    eval_fn = make_eval_fn(rcfg, tcfg, args.impl)
+    final = evaluate(eval_fn, model, scene.test_views, args.sh_degree)
+    n = export_ply(os.path.join(args.out, "point_cloud.ply"), model)
+    result = dict(
+        scene=scene.name, iterations=args.iterations,
+        resolution=f"{args.size}x{args.size}",
+        final_gaussians=n, **final,
+    )
+    with open(os.path.join(args.out, "result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,16 @@ def _load_scene(args):
             width=args.synthetic_size, height=args.synthetic_size,
         )
         return scene
+    if args.scene == "benchmark":
+        from .data.benchmark import benchmark_scene
+
+        size = args.synthetic_size if args.synthetic_size != 256 else 800
+        scene, _ = benchmark_scene(
+            width=size, height=size,
+            capacity=args.capacity or None,
+            seed=args.seed, impl=args.impl,
+        )
+        return scene
     if os.path.exists(os.path.join(args.scene, "transforms_train.json")):
         return nerf_synthetic_scene(
             args.scene, white_background=args.white_background,
@@ -55,8 +65,9 @@ def _load_scene(args):
             capacity=args.capacity or None,
         )
     raise SystemExit(
-        f"unrecognized scene '{args.scene}': expected 'synthetic', a "
-        "NeRF-synthetic dir (transforms_train.json) or a COLMAP dir (sparse/)"
+        f"unrecognized scene '{args.scene}': expected 'synthetic', "
+        "'benchmark' (bundled 150k-gaussian quality scene), a NeRF-synthetic "
+        "dir (transforms_train.json) or a COLMAP dir (sparse/)"
     )
 
 
@@ -70,6 +81,7 @@ def cmd_train(args) -> int:
         iterations=args.iterations,
         white_background=args.white_background,
         sh_degree=args.sh_degree,
+        eval_every=args.eval_every,
     )
     rcfg = RasterConfig(impl=args.impl, packed=not args.no_packed,
                         pairs_per_gaussian=args.pairs_per_gaussian)
@@ -82,6 +94,9 @@ def cmd_train(args) -> int:
         log=logger.log,
         ckpt_dir=os.path.join(args.out, "ckpts"),
         resume=args.resume,
+        eval_views=scene.test_views[: args.eval_views] or None,
+        preview_dir=(None if args.no_previews
+                     else os.path.join(args.out, "previews")),
     )
     n = export_ply(os.path.join(args.out, "point_cloud.ply"), model)
     print(f"trained {args.iterations} iters on '{scene.name}': "
@@ -196,6 +211,11 @@ def main(argv: Optional[list] = None) -> int:
     pt.add_argument("--iterations", type=int, default=7000)
     pt.add_argument("--out", default="runs/out")
     pt.add_argument("--resume", action="store_true")
+    pt.add_argument("--eval-every", type=int, default=1000,
+                    help="held-out PSNR/SSIM (+ preview PNG) cadence")
+    pt.add_argument("--eval-views", type=int, default=8,
+                    help="number of test views scored per eval")
+    pt.add_argument("--no-previews", action="store_true")
     pt.set_defaults(fn=cmd_train)
 
     pr = sub.add_parser("render", help="render a PLY scene to images")

@@ -15,13 +15,6 @@ import dataclasses
 from typing import Optional, Tuple
 
 
-def _next_pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
-
-
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
     """Static configuration of the tile rasterizer.
@@ -124,16 +117,17 @@ class TrainConfig:
     split_factor: float = 1.6
     prune_opacity: float = 0.005
     prune_radius_frac: float = 0.1        # x scene extent, world-space prune
+    # Screen-space big prune threshold as a fraction of max(W, H): the
+    # trainer derives the pixel threshold from the actual render resolution
+    # (3DGS hardcodes 20 px, tuned for ~800 px renders; 0.025 reproduces
+    # that at 800 px and scales to 1080p/4K).
+    prune_screen_frac: float = 0.025
     opacity_reset_every: int = 3_000
     opacity_reset_value: float = 0.01
 
     # SH degree ramps up one degree every `sh_increase_every` iterations.
     sh_degree: int = 3
     sh_increase_every: int = 1_000
-
-    # Capacity of the padded gaussian pytree; densification fills dead slots
-    # in place so shapes never change under jit.
-    capacity: int = 0                     # 0 -> auto: next_pow2(4 * n_init)
 
     white_background: bool = False
     random_background: bool = False

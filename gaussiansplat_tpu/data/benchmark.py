@@ -1,0 +1,256 @@
+"""Bundled quality benchmark scene (BASELINE config 2 class).
+
+This environment has no network egress and ships no NeRF-synthetic /
+Mip-NeRF360 data, so quality parity is demonstrated on a bundled procedural
+scene instead (VERDICT r1 missing item 1): a multi-object composition —
+checkerboard ground disk, banded sphere, per-face-colored box, striped
+torus, and a cone — sampled as ~150k surface-aligned anisotropic gaussians
+(normal-oriented flat disks, the same regime real 3DGS scenes converge to).
+Ground-truth images are rendered from the GT gaussian set with this repo's
+own rasterizer over hemisphere cameras (Blender-synthetic style: ~100 train
+/ 8 held-out test views at 800x800); training then starts from a sparse,
+noisy, gray point cloud (an SfM stand-in) and must recover the scene through
+the full densify/prune/SH-ramp schedule. Reported PSNR/SSIM live in
+BASELINE.md.
+
+The reference has no datasets or benchmarks at all (SURVEY §6); its one
+demonstrated config is a single 512x512 forward render of a pretrained PLY
+(`examples/main.jl:9-34`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RasterConfig
+from ..models.gaussians import (
+    GaussianModel,
+    from_arrays,
+    from_points,
+    num_sh_coeffs,
+    rgb_to_sh_dc,
+)
+from ..ops.camera import Camera, look_at
+from .datasets import Scene
+
+
+def _checker(u, v, size=0.4):
+    return ((np.floor(u / size) + np.floor(v / size)) % 2.0).astype(np.float32)
+
+
+def _sample_surfaces(n: int, rng: np.random.Generator):
+    """Sample ~n points over the composed scene surfaces.
+
+    Returns (points (n,3), normals (n,3), colors (n,3)). Scene frame:
+    y is up, objects sit on the ground plane y=0, total extent ~2.5.
+    """
+    # Area-weighted allocation over the five objects.
+    frac = np.array([0.34, 0.16, 0.18, 0.18, 0.14])
+    counts = (frac * n).astype(int)
+    counts[0] += n - counts.sum()
+    pts, nrm, col = [], [], []
+
+    # 1) Ground disk (radius 2.4, y=0, checkerboard gray/indigo).
+    m = counts[0]
+    r = 2.4 * np.sqrt(rng.random(m, dtype=np.float32))
+    th = 2 * np.pi * rng.random(m, dtype=np.float32)
+    x, z = r * np.cos(th), r * np.sin(th)
+    pts.append(np.stack([x, np.zeros_like(x), z], -1))
+    nrm.append(np.tile([0.0, 1.0, 0.0], (m, 1)).astype(np.float32))
+    c = _checker(x, z)
+    col.append(np.stack([0.25 + 0.55 * c, 0.25 + 0.45 * c, 0.45 + 0.3 * c], -1))
+
+    # 2) Sphere (r=0.55 at (-0.9, 0.55, -0.3), latitude color bands).
+    m = counts[1]
+    u = rng.random(m, dtype=np.float32)
+    v = rng.random(m, dtype=np.float32)
+    phi, cth = 2 * np.pi * u, 2 * v - 1
+    sth = np.sqrt(np.maximum(1 - cth ** 2, 0))
+    nn = np.stack([sth * np.cos(phi), cth, sth * np.sin(phi)], -1)
+    pts.append(np.array([-0.9, 0.55, -0.3], np.float32) + 0.55 * nn)
+    nrm.append(nn.astype(np.float32))
+    band = (np.floor((cth + 1) * 3.0) % 2.0).astype(np.float32)
+    col.append(np.stack([0.85 - 0.6 * band, 0.2 + 0.5 * band,
+                         0.25 + 0.2 * band], -1))
+
+    # 3) Box (0.7^3 at (0.85, 0.35, -0.45), rotated 30 deg, face colors).
+    m = counts[2]
+    face = rng.integers(0, 6, m)
+    ax, sgn = face // 2, (face % 2) * 2.0 - 1.0
+    uv = rng.random((m, 2), dtype=np.float32) - 0.5
+    p = np.zeros((m, 3), np.float32)
+    nl = np.zeros((m, 3), np.float32)
+    for a in range(3):
+        sel = ax == a
+        o1, o2 = (a + 1) % 3, (a + 2) % 3
+        p[sel, a] = 0.5 * sgn[sel]
+        p[sel, o1] = uv[sel, 0]
+        p[sel, o2] = uv[sel, 1]
+        nl[sel, a] = sgn[sel]
+    ca, sa = math.cos(0.5236), math.sin(0.5236)
+    rot = np.array([[ca, 0, -sa], [0, 1, 0], [sa, 0, ca]], np.float32)
+    p = 0.7 * p @ rot.T + np.array([0.85, 0.35, -0.45], np.float32)
+    nl = nl @ rot.T
+    pts.append(p)
+    nrm.append(nl)
+    palette = np.array(
+        [[0.9, 0.25, 0.2], [0.95, 0.7, 0.1], [0.2, 0.65, 0.3],
+         [0.15, 0.45, 0.85], [0.85, 0.85, 0.85], [0.55, 0.25, 0.7]],
+        np.float32)
+    fc = palette[face]
+    chk = _checker(uv[:, 0] + 0.5, uv[:, 1] + 0.5, size=0.25)
+    col.append(fc * (0.7 + 0.3 * chk[:, None]))
+
+    # 4) Torus (R=0.55, r=0.18 at (0.1, 0.22, 0.9), angular stripes).
+    m = counts[3]
+    a1 = 2 * np.pi * rng.random(m, dtype=np.float32)
+    a2 = 2 * np.pi * rng.random(m, dtype=np.float32)
+    cx = np.stack([0.55 * np.cos(a1), np.zeros(m, np.float32),
+                   0.55 * np.sin(a1)], -1)
+    nn = np.stack([np.cos(a2) * np.cos(a1), np.sin(a2),
+                   np.cos(a2) * np.sin(a1)], -1).astype(np.float32)
+    pts.append(np.array([0.1, 0.22, 0.9], np.float32) + cx + 0.18 * nn)
+    nrm.append(nn)
+    stripe = (np.floor(a1 / (np.pi / 4)) % 2.0).astype(np.float32)
+    col.append(np.stack([0.2 + 0.7 * stripe, 0.8 - 0.5 * stripe,
+                         np.full(m, 0.75, np.float32)], -1))
+
+    # 5) Cone (base r=0.4, h=1.1 at (-0.2, 0, 0.1), height gradient).
+    m = counts[4]
+    t = np.sqrt(rng.random(m, dtype=np.float32))  # area-uniform along slant
+    a = 2 * np.pi * rng.random(m, dtype=np.float32)
+    rr = 0.4 * (1 - t)
+    p = np.stack([rr * np.cos(a) - 0.2, 1.1 * t, rr * np.sin(a) + 0.1], -1)
+    # cone side normal: (cos a, r/h, sin a) normalized
+    nl = np.stack([np.cos(a), np.full(m, 0.4 / 1.1, np.float32), np.sin(a)], -1)
+    nl /= np.linalg.norm(nl, axis=-1, keepdims=True)
+    pts.append(p.astype(np.float32))
+    nrm.append(nl.astype(np.float32))
+    col.append(np.stack([0.95 - 0.5 * t, 0.4 + 0.5 * t,
+                         0.15 + 0.2 * np.cos(3 * a) ** 2], -1))
+
+    return (np.concatenate(pts).astype(np.float32),
+            np.concatenate(nrm).astype(np.float32),
+            np.clip(np.concatenate(col), 0.02, 0.98).astype(np.float32))
+
+
+def _quat_from_normal(n: np.ndarray) -> np.ndarray:
+    """(N,3) unit normals -> (N,4) wxyz quats rotating +z to n."""
+    w = 1.0 + n[:, 2]
+    q = np.stack([w, -n[:, 1], n[:, 0], np.zeros_like(w)], -1)
+    # n ~ -z: pick the 180-degree rotation about x
+    flip = w < 1e-6
+    q[flip] = [0.0, 1.0, 0.0, 0.0]
+    return (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def make_gt_model(
+    n_points: int = 150_000,
+    sh_degree: int = 1,
+    seed: int = 0,
+) -> GaussianModel:
+    """The ground-truth gaussian set: surface samples as normal-oriented
+    flat splats with mild view-dependent (degree-1 SH) tinting."""
+    rng = np.random.default_rng(seed)
+    pts, nrm, col = _sample_surfaces(n_points, rng)
+    n = pts.shape[0]
+
+    # Tangent scale ~ local sample spacing so surfaces close up; the normal
+    # axis is ~6x thinner (a surface-aligned disk).
+    area = 4.0 * math.pi  # rough total surface area of the composition
+    spacing = math.sqrt(area / n)
+    tangent = spacing * (1.4 + 0.4 * rng.random(n, dtype=np.float32))
+    log_scales = np.stack(
+        [np.log(tangent), np.log(tangent), np.log(tangent / 6.0)], -1
+    ).astype(np.float32)
+
+    quats = _quat_from_normal(nrm)
+    op = 0.92 + 0.06 * rng.random(n, dtype=np.float32)
+    logit_op = np.log(op / (1 - op)).astype(np.float32)
+    k = num_sh_coeffs(sh_degree)
+    sh_dc = np.asarray(rgb_to_sh_dc(jnp.asarray(col)))[:, None, :]
+    sh_rest = (0.04 * rng.standard_normal((n, k - 1, 3))).astype(np.float32)
+    return from_arrays(pts, quats, log_scales, logit_op, sh_dc, sh_rest)
+
+
+def hemisphere_cameras(
+    count: int,
+    width: int,
+    height: int,
+    radius: float = 4.4,
+    fx: Optional[float] = None,
+    offset: float = 0.0,
+    target=(0.0, 0.45, 0.0),
+) -> list:
+    """Blender-synthetic-style spiral over the upper hemisphere. The focal
+    length scales with resolution (FOV ~43 deg at any size)."""
+    fx = fx if fx is not None else 1.25 * width
+    cams = []
+    for i in range(count):
+        t = (i + offset) / count
+        az = 2 * math.pi * (t * 3.0)          # three loops around
+        el = 0.15 + 1.05 * t                   # rising elevation (rad)
+        eye = (
+            radius * math.cos(el) * math.cos(az),
+            radius * math.sin(el),
+            radius * math.cos(el) * math.sin(az),
+        )
+        # up=(0,-1,0): look_at's basis maps world-up to increasing image row
+        # (PNG top-down renders upside down); the flipped up-vector rotates
+        # the frame 180 deg so previews come out upright, unmirrored.
+        cams.append(look_at(eye=eye, target=target, up=(0.0, -1.0, 0.0),
+                            fx=fx, fy=fx, width=width, height=height))
+    return cams
+
+
+def benchmark_scene(
+    n_points: int = 150_000,
+    n_train: int = 100,
+    n_test: int = 8,
+    width: int = 800,
+    height: int = 800,
+    init_points: int = 20_000,
+    capacity: Optional[int] = None,
+    sh_degree: int = 1,
+    seed: int = 0,
+    cfg: Optional[RasterConfig] = None,
+    impl: Optional[str] = None,
+    render_batch: bool = True,
+) -> Tuple[Scene, GaussianModel]:
+    """Build the bundled benchmark: GT model + rendered GT views + a sparse
+    noisy init (SfM stand-in). Returns (scene, gt_model)."""
+    from ..render import render
+
+    cfg = cfg or RasterConfig()
+    gt_model = make_gt_model(n_points, sh_degree=sh_degree, seed=seed)
+
+    gt_render = jax.jit(
+        lambda cam: render(
+            gt_model, cam, cfg, sh_degree=sh_degree,
+            background=jnp.zeros((3,)), impl=impl,
+        ).image
+    )
+
+    def views(count, offset):
+        cams = hemisphere_cameras(count, width, height, offset=offset)
+        return [(cam, gt_render(cam)) for cam in cams]
+
+    train = views(n_train, 0.0)
+    test = views(n_test, 0.41)
+
+    # SfM stand-in: a sparse noisy gray-ish subsample of the surfaces.
+    rng = np.random.default_rng(seed + 1)
+    cap = capacity or 262_144
+    init_points = min(init_points, cap // 4)  # room to densify 4x
+    pts, _, col = _sample_surfaces(init_points, rng)
+    pts = pts + 0.02 * rng.standard_normal(pts.shape).astype(np.float32)
+    col = 0.5 * col + 0.25  # washed-out colors: must be re-learned
+    init = from_points(pts, col, capacity=cap)
+
+    scene = Scene(train, test, init, name=f"benchmark{n_points // 1000}k")
+    return scene, gt_model

@@ -146,6 +146,11 @@ def densify_step(
         cloned=jnp.sum(clone_mask.astype(jnp.int32)) - clone_dropped,
         split=jnp.sum(split_mask.astype(jnp.int32)) - split_dropped,
         dropped=clone_dropped + split_dropped,
+        # (C,) bool: slots whose PARAMETERS changed in place (split originals
+        # were resampled/shrunk above). The trainer must reset Adam moments
+        # for these too, not only for alive-flip slots; it pops this key
+        # before logging scalars.
+        touched=split_mask,
     )
     return model, DensifyState.zeros(model.capacity), info
 
@@ -156,9 +161,15 @@ def prune_step(
     cfg: TrainConfig,
     scene_extent: jax.Array,
     prune_big_screen: bool = False,
+    max_screen_px=None,
 ) -> Tuple[GaussianModel, dict]:
     """Kill gaussians that are nearly transparent or degenerately large
-    (3DGS `prune_points`); dead slots return to the free pool."""
+    (3DGS `prune_points`); dead slots return to the free pool.
+
+    `max_screen_px` is the screen-radius prune threshold in pixels, derived
+    by the trainer from the render resolution
+    (cfg.prune_screen_frac * max(W, H)); None disables the screen-size test
+    (world-space big-prune still applies)."""
     opacity = jax.nn.sigmoid(model.logit_opacities)
     too_faint = opacity < cfg.prune_opacity
     too_big_world = (
@@ -167,7 +178,9 @@ def prune_step(
     )
     kill = too_faint
     if prune_big_screen:
-        kill = kill | too_big_world | (state.max_radii > 0.5 * 2048)
+        kill = kill | too_big_world
+        if max_screen_px is not None:
+            kill = kill | (state.max_radii > max_screen_px)
     alive = model.alive & ~kill
     info = dict(pruned=jnp.sum((model.alive & kill).astype(jnp.int32)))
     return model.replace(alive=alive), info

@@ -172,10 +172,12 @@ def pixel_basis(tile_size: int) -> jax.Array:
     # The exact-bf16 premise breaks beyond (ts/2)^2 = 256 (bf16 has an 8-bit
     # mantissa): guard it rather than silently losing the cancellation-
     # critical precision of q.
-    assert tile_size <= 32, (
-        f"pallas rasterizer requires tile_size <= 32 (got {tile_size}): the "
-        "exact-bf16 centered basis bounds entries by (tile_size/2)^2 <= 256"
-    )
+    if tile_size > 32:  # ValueError, not assert: must survive python -O
+        raise ValueError(
+            f"pallas rasterizer requires tile_size <= 32 (got {tile_size}): "
+            "the exact-bf16 centered basis bounds entries by "
+            "(tile_size/2)^2 <= 256"
+        )
     px = tile_size * tile_size
     h = tile_size // 2
     idx = jax.lax.broadcasted_iota(jnp.int32, (px, 1), 0)

@@ -17,9 +17,12 @@ Everything runs in one `shard_map` under one jit: forward strips, loss,
 backward, cross-device reductions, and the replicated Adam update — no host
 round trips.
 
-Note on SSIM: the structural term is computed per strip, so 11-px windows do
-not cross strip boundaries (a ~window/strip_height approximation of the
-global value). L1 and PSNR are exact.
+The objective is EXACT, not strip-approximate: each strip exchanges 5
+boundary rows (the 11-px SSIM window radius) with its neighbors via
+`ppermute`, computes the per-pixel SSIM map on the halo-extended strip, and
+psums masked partial sums — bit-for-bit the single-device L1 + DSSIM over
+the true (unpadded) image. Gradients flow back through the halo exchange
+(the ppermute VJP is the transposed permutation).
 """
 
 from __future__ import annotations
@@ -37,10 +40,14 @@ from ..config import RasterConfig, TrainConfig
 from ..models.gaussians import GaussianModel
 from ..ops.binning import tile_grid
 from ..ops.camera import Camera
-from ..train.loss import photometric_loss, psnr
+from ..train.loss import ssim_map
 from ..train.trainer import TrainState
 from .mesh import DATA_AXIS, TILE_AXIS
 from .render import render_strip
+
+# SSIM window radius: rows exchanged between neighboring strips so windows
+# that straddle a strip boundary see the true neighbor pixels.
+SSIM_HALO = 5
 
 
 def stack_cameras(cameras) -> Camera:
@@ -116,6 +123,9 @@ def make_sharded_train_step(
         local_row = jax.lax.broadcasted_iota(jnp.int32, (strip_h, 1, 1), 0)
         row_mask = ((row0 * ts + local_row[:, 0, 0]) < height)[:, None, None]
 
+        lam = cfg.ssim_lambda
+        denom = float(height * width * 3)
+
         def loss_fn(params, offset2d):
             m = model.with_params(params)
             img, trans, aux = render_strip(
@@ -125,12 +135,33 @@ def make_sharded_train_step(
             )
             img = jnp.where(row_mask, img, 0.0)
             gt = jnp.where(row_mask, gt_strip, 0.0)
-            # Mean over the full image = mean of equal-size strip means.
-            local = photometric_loss(img, gt, cfg.ssim_lambda)
-            return local / (ntile * ndata), (img, aux)
+            # EXACT global objective: exchange the 5 boundary rows with both
+            # neighbors so every 11-px SSIM window sees the true image
+            # content it would see single-device. Strip 0's top halo / last
+            # strip's bottom halo receive ppermute zeros — identical to the
+            # zero padding the single-device blur applies at image borders
+            # (pad rows past the true height are already zero-masked).
+            fwd_perm = [(i, i + 1) for i in range(ntile - 1)]
+            bwd_perm = [(i, i - 1) for i in range(1, ntile)]
+            above_i, above_g = jax.lax.ppermute(
+                (img[-SSIM_HALO:], gt[-SSIM_HALO:]), TILE_AXIS, fwd_perm)
+            below_i, below_g = jax.lax.ppermute(
+                (img[:SSIM_HALO], gt[:SSIM_HALO]), TILE_AXIS, bwd_perm)
+            ext_i = jnp.concatenate([above_i, img, below_i], axis=0)
+            ext_g = jnp.concatenate([above_g, gt, below_g], axis=0)
+            smap = ssim_map(ext_i, ext_g)[SSIM_HALO:-SSIM_HALO]
+            s_sum = jnp.sum(jnp.where(row_mask, smap, 0.0))
+            l1_sum = jnp.sum(jnp.abs(img - gt))
+            sq_sum = jnp.sum((img - gt) ** 2)
+            # Per-device partial of mean-over-views[(1-l)L1 + l(1-SSIM)]:
+            # psum over (data, tile) reconstructs it exactly (the constant
+            # l*1 term is spread over the ntile strips of each view).
+            local = (((1.0 - lam) * l1_sum - lam * s_sum) / denom
+                     + lam / ntile) / ndata
+            return local, (sq_sum, aux)
 
         zeros2d = jnp.zeros((n, 2), jnp.float32)
-        (loss_local, (img, aux)), (grads, grad2d) = jax.value_and_grad(
+        (loss_local, (sq_sum, aux)), (grads, grad2d) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, zeros2d)
 
@@ -142,10 +173,9 @@ def make_sharded_train_step(
         radii = jax.lax.pmax(
             jax.lax.pmax(aux["radii"], TILE_AXIS), DATA_AXIS
         )
-        mse = jax.lax.pmean(
-            jax.lax.pmean(jnp.mean((img - gt_strip) ** 2), TILE_AXIS),
-            DATA_AXIS,
-        )
+        # Exact per-view MSE over the true (unpadded) image, then mean of
+        # per-view PSNR over the data axis.
+        mse = jax.lax.psum(sq_sum, TILE_AXIS) / denom
 
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -160,7 +190,9 @@ def make_sharded_train_step(
         )
         metrics = dict(
             loss=loss,
-            psnr=10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)),
+            psnr=jax.lax.pmean(
+                10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)), DATA_AXIS
+            ),
             overflow=jax.lax.psum(
                 aux["overflow"], (DATA_AXIS, TILE_AXIS)
             ),

@@ -224,3 +224,36 @@ class TestColmapNativeParity:
             assert a["camera_id"] == b["camera_id"]
             np.testing.assert_array_equal(a["quat"], b["quat"])
             np.testing.assert_array_equal(a["t"], b["t"])
+
+
+class TestBenchmarkScene:
+    def test_scene_builds_and_renders(self):
+        """Bundled quality-benchmark scene (BASELINE config 2 stand-in,
+        data/benchmark.py): GT model is surface-aligned, views render
+        non-empty and finite, init is a sparse noisy subset."""
+        import jax.numpy as jnp
+
+        from gaussiansplat_tpu.config import RasterConfig
+        from gaussiansplat_tpu.data.benchmark import benchmark_scene
+
+        cfg = RasterConfig(impl="xla", packed=False)
+        scene, gt = benchmark_scene(
+            n_points=4_000, n_train=2, n_test=1, width=96, height=96,
+            init_points=500, capacity=2_048, cfg=cfg, impl="xla")
+        assert int(gt.num_alive) == 4_000
+        assert int(scene.init_model.num_alive) == 500
+        assert scene.init_model.capacity == 2_048
+        for cam, img in scene.train_views + scene.test_views:
+            a = np.asarray(img)
+            assert a.shape == (96, 96, 3)
+            assert np.isfinite(a).all()
+            assert 0.02 < a.mean() < 0.9  # objects visible, not washed out
+
+    def test_gt_splats_are_surface_aligned(self):
+        from gaussiansplat_tpu.data.benchmark import make_gt_model
+
+        m = make_gt_model(2_000, sh_degree=1)
+        ls = np.asarray(m.log_scales[:2000])
+        # normal axis (z) ~6x thinner than the tangent axes
+        np.testing.assert_allclose(ls[:, 0], ls[:, 1], atol=1e-5)
+        assert ((ls[:, 0] - ls[:, 2]) > np.log(5.5)).all()

@@ -101,6 +101,45 @@ class TestShardedTrainStep:
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
 
+    @pytest.mark.parametrize("ntile", [2, 4])
+    def test_full_objective_parity_with_halo_ssim(self, ntile):
+        """Full L1+DSSIM objective (ssim_lambda=0.2): the 5-row halo exchange
+        makes strip-sharded SSIM EXACTLY the single-device value — loss to
+        1e-6 and all parameter grads to float tolerance (VERDICT r1 item 6)."""
+        h = 32 * ntile * 2  # two tile rows per strip
+        model, cam = setup(n=96, width=64, height=h)
+        key = jax.random.PRNGKey(3)
+        gt = jax.random.uniform(key, (h, 64, 3))
+
+        tcfg = TrainConfig(iterations=10, random_background=False,
+                           ssim_lambda=0.2)
+        state, tx = init_train_state(model, tcfg, extent=1.0)
+        mesh = make_mesh(data=1, tile=ntile)
+        sharded_step = make_sharded_train_step(
+            mesh, tx, CFG, tcfg, 64, h, sh_degree=1, return_grads=True)
+        cams = stack_cameras([cam])
+        gts = pad_targets(jnp.stack([gt]), h, CFG.tile_size, ntile)
+        _, metrics = sharded_step(state, cams, gts)
+
+        from gaussiansplat_tpu.train.loss import photometric_loss
+
+        def loss_fn(params):
+            m = state.model.with_params(params)
+            img = render(m, cam, CFG, sh_degree=1, impl="xla").image
+            return photometric_loss(img, gt, tcfg.ssim_lambda)
+
+        params = state.model.trainable()
+        expect_loss, expect = jax.jit(
+            jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(expect_loss), atol=1e-6)
+        got = metrics["grads"]
+        for k in expect:
+            scale = np.abs(np.asarray(expect[k])).max() + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(got[k]) / scale, np.asarray(expect[k]) / scale,
+                atol=1e-4, err_msg=k)
+
     def test_runs_8_devices(self):
         model, cam = setup(n=64, width=64, height=128)
         mesh = make_mesh(data=2, tile=4)

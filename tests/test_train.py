@@ -128,6 +128,98 @@ class TestDensify:
         assert (op <= cfg.opacity_reset_value + 1e-5).all()
 
 
+class TestPruneScreen:
+    def test_screen_radius_prune_uses_threshold(self):
+        model = random_model(jax.random.PRNGKey(0), 32, sh_degree=1, capacity=64)
+        cfg = TrainConfig(prune_opacity=0.0, prune_radius_frac=1e9)
+        state = DensifyState.zeros(model.capacity).replace(
+            max_radii=jnp.where(jnp.arange(64) < 5, 500, 10)
+        )
+        fn = jax.jit(lambda m, s: prune_step(
+            m, s, cfg, jnp.float32(1.0), True, max_screen_px=jnp.float32(100.0)))
+        new_model, info = fn(model, state)
+        assert int(info["pruned"]) == 5
+        # threshold disabled -> only world-space prune (also off here)
+        fn2 = jax.jit(lambda m, s: prune_step(
+            m, s, cfg, jnp.float32(1.0), True, max_screen_px=None))
+        _, info2 = fn2(model, state)
+        assert int(info2["pruned"]) == 0
+
+
+class TestDensifyMoments:
+    def test_split_originals_reset_adam_moments(self):
+        """Split-in-place originals get fresh optimizer moments (their old
+        moments belong to the pre-split gaussian)."""
+        from gaussiansplat_tpu.train.trainer import (
+            init_train_state, make_densify_fn)
+
+        model = random_model(jax.random.PRNGKey(0), 32, sh_degree=1, capacity=128)
+        cfg = TrainConfig(densify_grad_thresh=0.0, densify_scale_thresh=0.0)
+        state, tx = init_train_state(model, cfg, extent=1.0)
+        # Fake non-zero Adam moments everywhere.
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.ones_like(x) if hasattr(x, "shape") and x.ndim >= 1
+            else x, state.opt_state)
+        state = state.replace(
+            opt_state=opt_state,
+            densify=state.densify.replace(
+                grad2d_sum=jnp.where(model.alive, 1.0, 0.0),
+                grad2d_count=model.alive.astype(jnp.int32),
+            ),
+        )
+        densify_fn = make_densify_fn(tx, cfg)
+        new_state, info = densify_fn(
+            state, jnp.float32(1.0), False, jnp.float32(1e9))
+        assert int(info["split"]) == 32
+        leaves = [x for x in jax.tree_util.tree_leaves(new_state.opt_state)
+                  if hasattr(x, "shape") and x.ndim >= 1
+                  and x.shape[0] == model.capacity]
+        assert leaves, "no capacity-shaped moment buffers found"
+        for leaf in leaves:
+            # rows 0..31 were split in place -> moments zeroed
+            assert float(jnp.abs(leaf[:32]).max()) == 0.0
+
+
+class TestEvalAndPreviews:
+    def test_fit_emits_eval_rows_and_preview(self, tmp_path):
+        scene, _ = synthetic_scene(
+            jax.random.PRNGKey(0), n_gaussians=96, n_train=3, n_test=2,
+            width=64, height=64, fx=80.0, cfg=CFG,
+        )
+        tcfg = TrainConfig(
+            iterations=6, eval_every=3, log_every=3, sh_degree=1,
+            densify_start=10_000, opacity_reset_every=10_000,
+        )
+        rows = []
+        trainer = Trainer(raster_cfg=CFG, cfg=tcfg, impl="xla")
+        trainer.fit(
+            scene.init_model, scene.train_views,
+            log=lambda it, m: rows.append((it, m)),
+            eval_views=scene.test_views,
+            preview_dir=str(tmp_path),
+        )
+        evals = [(it, m) for it, m in rows if m.get("kind") == "eval"]
+        assert [it for it, _ in evals] == [3, 6]
+        for _, m in evals:
+            assert np.isfinite(m["eval_psnr"]) and 0.0 <= m["eval_ssim"] <= 1.0
+            assert m["eval_views"] == 2.0
+        p = tmp_path / "preview_000003.png"
+        assert p.exists()
+        data = p.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_png_writer_roundtrip(self, tmp_path):
+        from gaussiansplat_tpu.utils.image import side_by_side, write_png
+
+        img = np.random.default_rng(0).random((16, 24, 3)).astype(np.float32)
+        path = str(tmp_path / "x.png")
+        write_png(path, img)
+        raw = open(path, "rb").read()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in raw
+        sbs = side_by_side(img, img)
+        assert sbs.shape == (16, 48, 3) and sbs.dtype == np.uint8
+
+
 class TestEndToEnd:
     def test_optimization_improves_psnr(self):
         """BASELINE.json config-1-shaped check: a short training run must
