@@ -123,11 +123,20 @@ def project_splats2d(
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     radius_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(mid + disc))
 
+    # Exact per-axis ellipse extents (see projection.radius_xy).
+    rx_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(a, 0.0)))
+    ry_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(c, 0.0)))
+
     u, v = model.means2d[:, 0], model.means2d[:, 1]
-    r = radius_f
-    on_screen = (u + r > 0.0) & (u - r < width) & (v + r > 0.0) & (v - r < height)
+    on_screen = (
+        (u + rx_f > 0.0) & (u - rx_f < width)
+        & (v + ry_f > 0.0) & (v - ry_f < height)
+    )
     valid = det_ok & on_screen & model.alive
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    radius_xy = jnp.stack(
+        [jnp.where(valid, rx_f, 0.0), jnp.where(valid, ry_f, 0.0)], axis=-1
+    ).astype(jnp.int32)
 
     return Projected(
         mean2d=model.means2d.astype(f32),
@@ -136,6 +145,7 @@ def project_splats2d(
         rgb=model.colors.astype(f32),
         opacity=jax.nn.sigmoid(model.logit_opacities.astype(f32)),
         radius=jax.lax.stop_gradient(radius),
+        radius_xy=jax.lax.stop_gradient(radius_xy),
         valid=jax.lax.stop_gradient(valid),
     )
 

@@ -43,26 +43,30 @@ def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
 
 
 def tile_ranges(
-    mean2d: jax.Array,   # (N, 2)
-    radius: jax.Array,   # (N,) int32, 0 = culled
+    mean2d: jax.Array,     # (N, 2)
+    radius_xy: jax.Array,  # (N, 2) int32 per-axis half-extents, 0 = culled
     tile_size: int,
     tiles_x: int,
     tiles_y: int,
 ):
     """Inclusive-min / exclusive-max tile rectangle per gaussian.
 
-    Mirrors the classic getRect: covered tiles are those overlapping the
-    axis-aligned square of half-width `radius` around the center (reference
-    analogue: `boundingbox.jl:24-35` + `binning.jl:14-31`).
-    Returns (xmin, ymin, xmax, ymax) int32 arrays; empty if radius == 0.
+    Covered tiles are those overlapping the EXACT axis-aligned bounding box
+    of the sigma_radius ellipse (per-axis half-extents from the covariance
+    diagonal, `projection.radius_xy`) — strictly tighter than the classic
+    getRect square of half-width sqrt(lambda_max) (reference analogue:
+    `boundingbox.jl:24-35` + `binning.jl:14-31`), up to ~2x fewer pairs for
+    anisotropic splats. Returns (xmin, ymin, xmax, ymax) int32 arrays; empty
+    if either extent is 0.
     """
-    r = radius.astype(jnp.float32)
+    rx = radius_xy[:, 0].astype(jnp.float32)
+    ry = radius_xy[:, 1].astype(jnp.float32)
     u, v = mean2d[:, 0], mean2d[:, 1]
-    xmin = jnp.clip(jnp.floor((u - r) / tile_size), 0, tiles_x).astype(jnp.int32)
-    ymin = jnp.clip(jnp.floor((v - r) / tile_size), 0, tiles_y).astype(jnp.int32)
-    xmax = jnp.clip(jnp.floor((u + r) / tile_size) + 1, 0, tiles_x).astype(jnp.int32)
-    ymax = jnp.clip(jnp.floor((v + r) / tile_size) + 1, 0, tiles_y).astype(jnp.int32)
-    empty = radius <= 0
+    xmin = jnp.clip(jnp.floor((u - rx) / tile_size), 0, tiles_x).astype(jnp.int32)
+    ymin = jnp.clip(jnp.floor((v - ry) / tile_size), 0, tiles_y).astype(jnp.int32)
+    xmax = jnp.clip(jnp.floor((u + rx) / tile_size) + 1, 0, tiles_x).astype(jnp.int32)
+    ymax = jnp.clip(jnp.floor((v + ry) / tile_size) + 1, 0, tiles_y).astype(jnp.int32)
+    empty = (radius_xy[:, 0] <= 0) | (radius_xy[:, 1] <= 0)
     xmax = jnp.where(empty, xmin, jnp.maximum(xmax, xmin))
     ymax = jnp.where(empty, ymin, jnp.maximum(ymax, ymin))
     return xmin, ymin, xmax, ymax
@@ -199,8 +203,17 @@ def reduce_pair_grads_packed_t(
     # Un-permute by carrying the 8 grad lanes through ONE variadic sort keyed
     # on sorted_pos: measured cheaper than inverse-permutation sort + lane
     # gather (the gather pays ~7ns/index; extra sort operands ~1ms/M each).
+    # NB: quantizing the carried lanes to bf16 (to halve the operand count)
+    # is UNSOUND here — a gaussian's per-pair grads can nearly cancel, so
+    # per-pair rounding error scales with the largest pair grad, not the
+    # sum, and blows up the reduced gradient (measured 100x outliers).
     # Garbage tail rows (pre-sort position >= num_pairs) sort to the end and
     # are zeroed so uninitialized NaN bits can't poison the MXU reduction.
+    # LOAD-BEARING INVARIANT (established by the expansion step in
+    # expand_pairs / pallas/expand.py): valid pairs occupy pre-sort positions
+    # [0, num_pairs) contiguously — invalid slots all carry positions
+    # >= num_pairs. If expansion ever interleaved invalid slots among valid
+    # ones, the mask below would zero real gradients and sum garbage.
     ops = jax.lax.sort(
         (sorted_pos,) + tuple(dsorted_t[i] for i in range(nch_p)),
         num_keys=1,
@@ -278,7 +291,7 @@ def bin_gaussians(
     depth = jax.lax.stop_gradient(proj.depth)
 
     xmin, ymin, xmax, ymax = tile_ranges(
-        mean2d, proj.radius, cfg.tile_size, tiles_x, tiles_y
+        mean2d, proj.radius_xy, cfg.tile_size, tiles_x, tiles_y
     )
     # Clip to the strip and re-index rows relative to it.
     ymin = jnp.clip(ymin - tile_row0, 0, tile_rows)

@@ -55,7 +55,7 @@ def render_oracle(
 
     xmin, ymin, xmax, ymax = tile_ranges(
         jax.lax.stop_gradient(proj.mean2d),
-        proj.radius,
+        proj.radius_xy,
         cfg.tile_size,
         tiles_x,
         tiles_y,

@@ -104,18 +104,21 @@ def pack_by_strip(
 ):
     """Sort local gaussians by destination strip and emit a fixed-shape
     (n_strips, send_cap, 16) send buffer plus the overflow count. A gaussian
-    whose bounding square spans k strips is duplicated into k rows (same
-    duplication scheme as tile binning)."""
+    whose y-extent spans k strips is duplicated into k rows (same duplication
+    scheme as tile binning; uses the exact per-axis ellipse extent
+    PAYLOAD_RY, matching the receiver's binning rects)."""
+    from ..ops.projection import PAYLOAD_RY
+
     n = payload.shape[0]
     mean_y = jax.lax.stop_gradient(payload[:, 1])
-    radius = jax.lax.stop_gradient(payload[:, 11])
+    ry = jax.lax.stop_gradient(payload[:, PAYLOAD_RY])
     s0 = jnp.clip(
-        jnp.floor((mean_y - radius) / strip_h), 0, n_strips
+        jnp.floor((mean_y - ry) / strip_h), 0, n_strips
     ).astype(jnp.int32)
     s1 = jnp.clip(
-        jnp.floor((mean_y + radius) / strip_h) + 1, 0, n_strips
+        jnp.floor((mean_y + ry) / strip_h) + 1, 0, n_strips
     ).astype(jnp.int32)
-    s1 = jnp.where(radius > 0, jnp.maximum(s1, s0), s0)
+    s1 = jnp.where(ry > 0, jnp.maximum(s1, s0), s0)
     counts = s1 - s0
 
     offsets = jnp.cumsum(counts) - counts

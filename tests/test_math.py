@@ -160,6 +160,45 @@ class TestProjection:
         assert bool(p.valid[0]) and not bool(p.valid[1])
         assert int(p.radius[1]) == 0
 
+    def test_radius_xy_is_exact_ellipse_aabb(self):
+        """Per-axis extents must be ceil(sigma_r * sqrt(cov diag)) — the
+        exact AABB of the 3-sigma ellipse — and never exceed the max radius
+        (sqrt(lambda_max) bound)."""
+        model, cam = self._setup(n=128)
+        cfg = RasterConfig()
+        p = project_gaussians(model.means, model.quats, model.log_scales,
+                              model.logit_opacities, model.sh, cam, cfg,
+                              sh_degree=1, alive=model.alive)
+        rxy = np.asarray(p.radius_xy)
+        r = np.asarray(p.radius)
+        valid = np.asarray(p.valid)
+        conic = np.asarray(p.conic)  # inverse covariance (a, b, c)
+        det_inv = conic[:, 0] * conic[:, 2] - conic[:, 1] ** 2
+        cov_xx = conic[:, 2] / det_inv
+        cov_yy = conic[:, 0] / det_inv
+        exp_rx = np.ceil(cfg.sigma_radius * np.sqrt(cov_xx))
+        exp_ry = np.ceil(cfg.sigma_radius * np.sqrt(cov_yy))
+        sel = valid
+        assert sel.any()
+        np.testing.assert_allclose(rxy[sel, 0], exp_rx[sel], atol=1.01)
+        np.testing.assert_allclose(rxy[sel, 1], exp_ry[sel], atol=1.01)
+        assert (rxy[sel, 0] <= r[sel]).all() and (rxy[sel, 1] <= r[sel]).all()
+        # culled rows are zeroed
+        assert (rxy[~sel] == 0).all()
+
+    def test_beyond_far_plane_culled(self):
+        # reference culls near AND far in the raster walk (splat.jl:227);
+        # here the cull is at projection time via cfg.far.
+        cam = look_at(eye=(0, 0, -5), target=(0, 0, 0), width=64, height=64)
+        cfg = RasterConfig(far=20.0)
+        means = jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 100.0]])  # 2nd past far
+        p = project_gaussians(
+            means, jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1)),
+            jnp.full((2, 3), -2.0), jnp.zeros((2,)), jnp.zeros((2, 1, 3)),
+            cam, cfg, sh_degree=0)
+        assert bool(p.valid[0]) and not bool(p.valid[1])
+        assert int(p.radius[1]) == 0
+
     def test_isotropic_conic(self):
         # An isotropic gaussian at the optical axis has an isotropic conic.
         cam = look_at(eye=(0, 0, -5), target=(0, 0, 0), fx=200, fy=200,

@@ -63,18 +63,19 @@ class TestBinning:
         proj = project(model, cam)
         b = bin_gaussians(proj, cam.width, cam.height, CFG)
         tiles_x, tiles_y = tile_grid(cam.width, cam.height, CFG.tile_size)
-        # brute force expected pair set
+        # brute force expected pair set (exact per-axis ellipse AABB)
         mean2d = np.asarray(proj.mean2d)
-        radius = np.asarray(proj.radius)
+        radius_xy = np.asarray(proj.radius_xy)
         valid = np.asarray(proj.valid)
         expect = set()
         for i in range(64):
-            if not valid[i] or radius[i] <= 0:
+            rx, ry = radius_xy[i]
+            if not valid[i] or rx <= 0 or ry <= 0:
                 continue
-            xmn = max(0, int(np.floor((mean2d[i, 0] - radius[i]) / CFG.tile_size)))
-            ymn = max(0, int(np.floor((mean2d[i, 1] - radius[i]) / CFG.tile_size)))
-            xmx = min(tiles_x, int(np.floor((mean2d[i, 0] + radius[i]) / CFG.tile_size)) + 1)
-            ymx = min(tiles_y, int(np.floor((mean2d[i, 1] + radius[i]) / CFG.tile_size)) + 1)
+            xmn = max(0, int(np.floor((mean2d[i, 0] - rx) / CFG.tile_size)))
+            ymn = max(0, int(np.floor((mean2d[i, 1] - ry) / CFG.tile_size)))
+            xmx = min(tiles_x, int(np.floor((mean2d[i, 0] + rx) / CFG.tile_size)) + 1)
+            ymx = min(tiles_y, int(np.floor((mean2d[i, 1] + ry) / CFG.tile_size)) + 1)
             for ty in range(ymn, ymx):
                 for tx in range(xmn, xmx):
                     expect.add((ty * tiles_x + tx, i))
@@ -88,8 +89,9 @@ class TestBinning:
 
     def test_overflow_counted(self):
         model, cam = setup_scene(n=256)
+        small = RasterConfig(tile_size=32, chunk_size=32,
+                             pairs_per_gaussian=0.125)  # 128-pair capacity
         proj = project(model, cam)
-        small = RasterConfig(tile_size=32, pairs_per_gaussian=0.25)
         b = bin_gaussians(proj, cam.width, cam.height, small)
         assert int(b.overflow) > 0
         assert int(b.num_pairs) == b.capacity
