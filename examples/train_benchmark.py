@@ -55,10 +55,13 @@ def main():
           f"init {int(scene.init_model.num_alive)} gaussians "
           f"(capacity {scene.init_model.capacity})", flush=True)
 
+    # 3DGS proportions: density control (and its opacity resets) run for the
+    # first half; the second half converges undisturbed, so the final eval
+    # is not depressed by a recent reset.
     tcfg = TrainConfig(
         iterations=args.iterations,
         sh_degree=args.sh_degree,
-        densify_end=min(15_000, args.iterations // 2 * 2),
+        densify_end=min(15_000, args.iterations // 2),
         eval_every=500,
         log_every=100,
     )
