@@ -162,7 +162,10 @@ def save_gaussian_ply(
     sh_dc: np.ndarray,
     sh_rest: np.ndarray,
 ) -> None:
-    """Write model arrays as an ecosystem-compatible 3DGS PLY."""
+    """Write model arrays as an ecosystem-compatible 3DGS PLY.
+
+    SH arrays are accepted band-major (N, K, 3) or flat (N, 3K) (the model
+    stores them flat; see models/gaussians.py)."""
     n = means.shape[0]
     f32 = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
     vertex: Dict[str, np.ndarray] = {}
@@ -170,9 +173,10 @@ def save_gaussian_ply(
         vertex[k] = f32(means[:, i])
     for k in ("nx", "ny", "nz"):
         vertex[k] = np.zeros(n, np.float32)
+    dc = np.asarray(sh_dc, np.float32).reshape(n, 3)
     for i in range(3):
-        vertex[f"f_dc_{i}"] = f32(sh_dc[:, 0, i])
-    rest = np.asarray(sh_rest)          # (N, K-1, 3) -> channel-major flat
+        vertex[f"f_dc_{i}"] = f32(dc[:, i])
+    rest = np.asarray(sh_rest).reshape(n, -1, 3)  # band-major -> channel-major
     m = rest.shape[1] * 3
     rest_cm = rest.transpose(0, 2, 1).reshape(n, m)
     for i in range(m):

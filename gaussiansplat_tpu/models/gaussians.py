@@ -12,8 +12,16 @@ Parameterization (standard 3DGS, applied at projection time):
   quats           (C, 4)  wxyz rotations, unnormalized
   log_scales      (C, 3)  log standard deviations  (exp'd like projection.jl:133)
   logit_opacities (C,)    pre-sigmoid opacity      (sigmoid'd like splat.jl:247)
-  sh_dc           (C, 1, 3)   DC spherical-harmonics band   (PLY f_dc_*)
-  sh_rest         (C, K-1, 3) higher SH bands               (PLY f_rest_*)
+  sh_dc           (C, 3)        DC spherical-harmonics band  (PLY f_dc_*)
+  sh_rest         (C, 3*(K-1))  higher SH bands, FLAT        (PLY f_rest_*)
+
+SH coefficients are stored FLAT (2D) on purpose: XLA's TPU tiling pads the
+trailing two dims of an f32 array to (8, 128), so a persistent
+(C, 15, 3) buffer materializes as (C, 16, 128) — a 42x HBM blow-up that
+OOMs at 4M gaussians (measured: a 720 MB sh_rest became a 32.7 GB
+allocation). 2D (C, 45) stays compact. The coefficient order within a row
+is [band0 rgb, band1 rgb, ...] (k-major, rgb-minor), matching the
+(K, 3).reshape(-1) of the INRIA layout.
 """
 
 from __future__ import annotations
@@ -52,7 +60,7 @@ class GaussianModel:
 
     @property
     def sh_degree(self) -> int:
-        return int(round((self.sh_rest.shape[1] + 1) ** 0.5)) - 1
+        return int(round((self.sh_rest.shape[1] // 3 + 1) ** 0.5)) - 1
 
     @property
     def num_alive(self) -> jax.Array:
@@ -60,7 +68,8 @@ class GaussianModel:
 
     @property
     def sh(self) -> jax.Array:
-        """Concatenated (C, K, 3) SH coefficients."""
+        """Concatenated FLAT (C, 3K) SH coefficients (see module docstring
+        for why flat; ops/sh.eval_sh_flat consumes this layout)."""
         return jnp.concatenate([self.sh_dc, self.sh_rest], axis=1)
 
     def trainable(self) -> dict:
@@ -86,8 +95,8 @@ def empty_model(capacity: int, sh_degree: int = 3) -> GaussianModel:
         quats=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (capacity, 1)),
         log_scales=jnp.full((capacity, 3), -10.0, jnp.float32),
         logit_opacities=jnp.full((capacity,), -10.0, jnp.float32),
-        sh_dc=z((capacity, 1, 3), jnp.float32),
-        sh_rest=z((capacity, k - 1, 3), jnp.float32),
+        sh_dc=z((capacity, 3), jnp.float32),
+        sh_rest=z((capacity, 3 * (k - 1)), jnp.float32),
         alive=jnp.zeros((capacity,), bool),
     )
 
@@ -120,7 +129,7 @@ def random_model(
         quats=m.quats.at[:n].set(quats),
         log_scales=m.log_scales.at[:n].set(log_scales),
         logit_opacities=m.logit_opacities.at[:n].set(logit_op),
-        sh_dc=m.sh_dc.at[:n].set(rgb_to_sh_dc(colors)[:, None, :]),
+        sh_dc=m.sh_dc.at[:n].set(rgb_to_sh_dc(colors)),
         alive=m.alive.at[:n].set(True),
     )
 
@@ -134,9 +143,14 @@ def from_arrays(
     sh_rest: np.ndarray,
     capacity: Optional[int] = None,
 ) -> GaussianModel:
-    """Build a model from host arrays (e.g. a parsed INRIA PLY)."""
+    """Build a model from host arrays (e.g. a parsed INRIA PLY).
+
+    SH arrays are accepted in either the INRIA (N, K, 3) band-major form or
+    already flat (N, 3K); both are stored flat (see module docstring)."""
     n = means.shape[0]
-    k = 1 + sh_rest.shape[1]
+    sh_dc = np.asarray(sh_dc, np.float32).reshape(n, -1)
+    sh_rest = np.asarray(sh_rest, np.float32).reshape(n, -1)
+    k = 1 + sh_rest.shape[1] // 3
     deg = int(round(k ** 0.5)) - 1
     capacity = capacity or n
     assert capacity >= n

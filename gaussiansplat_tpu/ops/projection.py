@@ -27,7 +27,7 @@ from flax import struct
 from ..config import RasterConfig
 from .camera import Camera
 from .quaternion import normalize, quat_to_rotmat
-from .sh import eval_sh
+from .sh import eval_sh_flat
 
 
 @struct.dataclass
@@ -52,7 +52,7 @@ def project_gaussians(
     quats: jax.Array,          # (N, 4) wxyz (unnormalized ok)
     log_scales: jax.Array,     # (N, 3)
     logit_opacities: jax.Array,  # (N,)
-    sh: jax.Array,             # (N, K, 3)
+    sh: jax.Array,             # (N, 3K) FLAT band-major SH (see ops/sh.eval_sh_flat)
     camera: Camera,
     cfg: RasterConfig,
     sh_degree: int = 3,
@@ -60,6 +60,8 @@ def project_gaussians(
 ) -> Projected:
     f32 = jnp.float32
     means = means.astype(f32)
+    if sh.ndim == 3:  # accept legacy band-major (N, K, 3); store/use flat
+        sh = sh.reshape(sh.shape[0], -1)
 
     # --- view transform (reference: frustumCulling, projection.jl:56-77) ---
     cam_pts = means @ camera.R.T + camera.t  # (N, 3)
@@ -129,7 +131,7 @@ def project_gaussians(
 
     # --- color + opacity ---
     view_dir = means - camera.position[None, :]
-    rgb = eval_sh(sh.astype(f32), view_dir, sh_degree)
+    rgb = eval_sh_flat(sh.astype(f32), view_dir, sh_degree)
     opacity = jax.nn.sigmoid(logit_opacities.astype(f32))
 
     valid = in_front & det_ok & (radius_f > 0.0)

@@ -93,6 +93,24 @@ def eval_sh(sh: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
     return jnp.maximum(rgb, 0.0)
 
 
+def eval_sh_flat(sh_flat: jax.Array, dirs: jax.Array, degree: int) -> jax.Array:
+    """SH coefficients in FLAT (N, 3*K_total) layout -> RGB.
+
+    Same math as eval_sh, but every array stays 2D: a persistent or
+    materialized (N, K, 3) f32 buffer tiles to (N, K_pad8, 128) on TPU (the
+    trailing dim pads 3 -> 128, a 42x HBM blow-up measured to OOM at 4M
+    gaussians), while 2D slices stay compact. Coefficient order matches
+    (K, 3).reshape(-1): [band0 rgb, band1 rgb, ...].
+    """
+    k = num_sh_coeffs(degree)
+    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    basis = sh_basis(d, degree)  # (N, k)
+    rgb = jnp.zeros(sh_flat.shape[:-1] + (3,), sh_flat.dtype)
+    for i in range(k):
+        rgb = rgb + basis[..., i : i + 1] * sh_flat[..., 3 * i : 3 * i + 3]
+    return jnp.maximum(rgb + 0.5, 0.0)
+
+
 def rgb_to_sh_dc(rgb: jax.Array) -> jax.Array:
     """Invert the DC band: rgb in [0,1] -> DC coefficient."""
     return (rgb - 0.5) / SH_C0

@@ -181,7 +181,7 @@ class TestGradients:
             return np.asarray(out.image, np.float64).sum()
 
         eps = 1e-2
-        for probe in [(3, 0, 1), (7, 0, 2)]:
+        for probe in [(3, 1), (7, 2)]:  # sh_dc is flat (N, 3)
             e = jnp.zeros_like(dc_init).at[probe].set(eps)
             fd = (loss64(dc_init + e) - loss64(dc_init - e)) / (2 * eps)
             np.testing.assert_allclose(g[probe], fd, rtol=7e-2, atol=1e-3)
