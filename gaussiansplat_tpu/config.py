@@ -50,7 +50,17 @@ class RasterConfig:
     cov2d_dilation: float = 0.3
 
     # Bounding radius in standard deviations (`boundingbox.jl:23` uses 3).
+    # Splat support is gated EXPLICITLY at q <= sigma_radius^2 in every
+    # rasterizer (pallas kernels, XLA twin, oracle), so the rendered
+    # footprint is the exact sigma ellipse regardless of binning rects.
     sigma_radius: float = 3.0
+
+    # Exact per-tile support culling during binning: keep only the tiles a
+    # splat's visible-support ellipse {q <= min(sigma_radius^2,
+    # 2 ln(op/alpha_min))} actually touches (output-exact given the q/alpha
+    # gates above; see ops/binning._tile_survivor_mask). Cuts every
+    # pair-proportional cost; disable only for debugging.
+    tile_cull: bool = True
 
     # Alpha handling, matching INRIA/gsplat semantics: splats with
     # alpha < alpha_min are skipped, alpha is clamped to alpha_max, and a

@@ -123,16 +123,25 @@ def project_splats2d(
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     radius_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(mid + disc))
 
-    # Exact per-axis ellipse extents (see projection.radius_xy).
-    rx_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(a, 0.0)))
-    ry_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(c, 0.0)))
+    # Exact per-axis, opacity-aware ellipse extents (see projection.radius_xy:
+    # the rasterizers gate alpha < alpha_min and q > sigma_radius^2, so
+    # support beyond min(sigma, sqrt(2 ln(op/alpha_min))) sigmas is dead).
+    opacity = jax.nn.sigmoid(model.logit_opacities.astype(f32))
+    tau_op = 2.0 * (jnp.log(jnp.maximum(opacity, 1e-12))
+                    - float(np.log(cfg.alpha_min)))
+    s_eff = jnp.minimum(
+        cfg.sigma_radius,
+        jnp.sqrt(jnp.maximum(tau_op, 0.0)) * 1.001 + 1e-2,
+    )
+    rx_f = jnp.ceil(s_eff * jnp.sqrt(jnp.maximum(a, 0.0)))
+    ry_f = jnp.ceil(s_eff * jnp.sqrt(jnp.maximum(c, 0.0)))
 
     u, v = model.means2d[:, 0], model.means2d[:, 1]
     on_screen = (
         (u + rx_f > 0.0) & (u - rx_f < width)
         & (v + ry_f > 0.0) & (v - ry_f < height)
     )
-    valid = det_ok & on_screen & model.alive
+    valid = det_ok & on_screen & model.alive & (opacity > cfg.alpha_min)
     radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     radius_xy = jnp.stack(
         [jnp.where(valid, rx_f, 0.0), jnp.where(valid, ry_f, 0.0)], axis=-1
@@ -143,7 +152,7 @@ def project_splats2d(
         depth=jnp.zeros_like(u),  # screen splats have no depth; stable order
         conic=conic,
         rgb=model.colors.astype(f32),
-        opacity=jax.nn.sigmoid(model.logit_opacities.astype(f32)),
+        opacity=opacity,
         radius=jax.lax.stop_gradient(radius),
         radius_xy=jax.lax.stop_gradient(radius_xy),
         valid=jax.lax.stop_gradient(valid),

@@ -72,6 +72,85 @@ def tile_ranges(
     return xmin, ymin, xmax, ymax
 
 
+# Rects of at most this many tiles get an exact per-tile visible-support
+# intersection test (a 32-bit survivor bitmask, row-major over the rect);
+# larger rects (rare, huge splats) keep every tile. 32 covers e.g. 4x8 —
+# far beyond the ~2-3 tile rects that dominate real scenes.
+MASK_TILES = 32
+
+
+def _rect_qmin(ca, cb, cc, x0, x1, y0, y1):
+    """Exact minimum of the PD quadratic form q(d) = ca*dx^2 + 2cb*dx*dy +
+    cc*dy^2 over the axis-aligned rectangle [x0,x1]x[y0,y1] (coordinates
+    relative to the splat center).
+
+    For a positive-definite q with its minimum (the origin) outside the
+    rect, the rect minimum lies on a face NEAR the origin: a far-face
+    minimizer with an inward descent direction blocked would need
+    det(conic) <= 0. So it suffices to 1D-minimize over the two near faces
+    (x = clamp(0) and y = clamp(0)), clamping each face's unconstrained
+    stationary point into the face's range; corners are covered by both.
+    When the origin is inside, both clamps hit 0 and qmin = 0."""
+    xe = jnp.clip(0.0, x0, x1)
+    ye = jnp.clip(0.0, y0, y1)
+    ys = jnp.clip(-cb * xe / cc, y0, y1)
+    q1 = ca * xe * xe + 2.0 * cb * xe * ys + cc * ys * ys
+    xs = jnp.clip(-cb * ye / ca, x0, x1)
+    q2 = ca * xs * xs + 2.0 * cb * xs * ye + cc * ye * ye
+    return jnp.minimum(q1, q2)
+
+
+def _tile_survivor_mask(
+    mean2d, conic, opacity,      # (N, 2), (N, 3), (N,) stop-gradient values
+    xmin, ymin, tw, th,          # (N,) int32 strip-clipped rect (tiles)
+    tile_row0,                   # () int32 strip offset (rows)
+    tile_size: int,
+    sigma_radius: float,
+    alpha_min: float,
+) -> jax.Array:
+    """(N,) int32 bitmask of rect-local tiles (bit b = ky*tw + kx, row-major)
+    whose pixel square intersects the splat's visible support
+    {q <= min(sigma_radius^2, 2 ln(op/alpha_min))}.
+
+    The rasterizers zero every contribution outside that support
+    (ops/pallas/common.chunk_alpha's q/alpha gates), so dropping the other
+    tiles is output-exact. The test lower-bounds q over each tile's
+    CONTINUOUS [ts]x[ts] square (pixel samples lie inside it, and the square
+    extends one pixel past the last sample — slack for the kernels' own
+    rounding of q), with a further 1e-3 relative margin. Computed once
+    host-side in plain f32 and shared verbatim by the Pallas expand kernel
+    and the XLA expansion, so both impls make bit-identical decisions."""
+    f32 = jnp.float32
+    u = mean2d[:, 0:1]
+    v = mean2d[:, 1:2]
+    ca, cb, cc = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
+    tau = 2.0 * (jnp.log(jnp.maximum(opacity, 1e-12))[:, None]
+                 - float(np.log(alpha_min)))
+    tau = jnp.minimum(tau, sigma_radius * sigma_radius)
+    bb = jnp.arange(MASK_TILES, dtype=jnp.int32)[None, :]
+    tw_s = jnp.maximum(tw, 1)[:, None]
+    ky = bb // tw_s
+    kx = bb - ky * tw_s
+    x0 = ((xmin[:, None] + kx) * tile_size).astype(f32) - u
+    y0 = ((ymin[:, None] + ky + tile_row0) * tile_size).astype(f32) - v
+    qmin = _rect_qmin(ca, cb, cc, x0, x0 + tile_size, y0, y0 + tile_size)
+    keep = (bb < (tw * th)[:, None]) & (qmin * 0.999 - 1e-2 <= tau)
+    bits = jnp.where(keep, jnp.left_shift(jnp.int32(1), bb), 0)
+    return jnp.sum(bits, axis=1).astype(jnp.int32)
+
+
+def _kth_set_bit(mask: jax.Array, k: jax.Array) -> jax.Array:
+    """Index of the k-th (0-based) set bit of each int32 lane; 0 if there is
+    no such bit (callers only consume lanes where k < popcount(mask))."""
+    cnt = jnp.zeros_like(k)
+    sel = jnp.zeros_like(k)
+    for bit in range(MASK_TILES):
+        isset = jnp.right_shift(mask, bit) & 1
+        sel = jnp.where((cnt == k) & (isset == 1), bit, sel)
+        cnt = cnt + isset
+    return sel
+
+
 @struct.dataclass
 class TileBinning:
     """Sorted (tile, depth)-keyed pair list with per-tile segment offsets.
@@ -301,6 +380,34 @@ def bin_gaussians(
     counts = jnp.minimum(tw * th, cfg.max_tiles_per_gaussian)
     counts = jnp.where(proj.valid, counts, 0)
 
+    by = max(int(tile_rows).bit_length(), 1)
+    bw = max(int(tiles_x).bit_length(), 1)
+    bx, bh = bw, by
+    rect_packable = bx + by + bw + bh <= 31
+
+    # Exact per-tile support cull (see _tile_survivor_mask): rects of up to
+    # MASK_TILES tiles keep only the tiles the visible-support ellipse
+    # actually touches. mask == 0 means "dense rect" downstream; maskable
+    # splats whose every tile is culled get counts = 0 and compact to the
+    # tail like empties, so the sentinel never collides with them.
+    do_cull = cfg.tile_cull and rect_packable
+    if do_cull:
+        mask = _tile_survivor_mask(
+            mean2d,
+            jax.lax.stop_gradient(proj.conic),
+            jax.lax.stop_gradient(proj.opacity),
+            xmin, ymin, tw, th, tile_row0,
+            cfg.tile_size, cfg.sigma_radius, cfg.alpha_min,
+        )
+        maskable = (counts > 0) & (tw * th <= MASK_TILES)
+        surv = jax.lax.population_count(mask)
+        counts = jnp.where(
+            maskable, jnp.minimum(surv, cfg.max_tiles_per_gaussian), counts
+        )
+        mask = jnp.where(maskable, mask, 0)
+    else:
+        mask = jnp.zeros_like(counts)
+
     # One combined compaction + depth sort: nonempty gaussians first, by
     # depth, ties broken by original index (keys unique -> deterministic).
     # Among nonempty gaussians — the only ones that emit pairs — this order
@@ -311,28 +418,34 @@ def bin_gaussians(
     # descriptor owning >= 1 pair). The reference never achieves a per-tile
     # depth order at all: its compaction ranks are computed in original index
     # order (`compact.jl:3-21`, SURVEY §2.2).
-    by = max(int(tile_rows).bit_length(), 1)
-    bw = max(int(tiles_x).bit_length(), 1)
-    bx, bh = bw, by
-    rect_packable = bx + by + bw + bh <= 31
     iota_n = jnp.arange(n, dtype=jnp.int32)
     if rect_packable:
-        # Ride the packed rect through the compaction sort as a 4th operand:
-        # one extra sort lane costs ~1ms/M on TPU where the post-hoc
-        # rect[comp_order] gather costs ~7ns per index (~7ms/M).
+        # Ride the packed rect (and the survivor mask) through the compaction
+        # sort as extra operands: one extra sort lane costs ~1ms/M on TPU
+        # where a post-hoc rect[comp_order] gather costs ~7ns per index
+        # (~7ms/M).
         rect = ((((xmin << by) | ymin) << bw) | tw) << bh | th
         rect = jnp.where(counts > 0, rect, 0)
-        _, _, comp_order, rect_c = jax.lax.sort(
-            ((counts == 0).astype(jnp.int32), depth, iota_n, rect),
+        _, _, comp_order, rect_c, mask_c = jax.lax.sort(
+            ((counts == 0).astype(jnp.int32), depth, iota_n, rect, mask),
             num_keys=3,
         )
         th_c = rect_c & ((1 << bh) - 1)
         tw_c = (rect_c >> bh) & ((1 << bw) - 1)
         ymin_c = (rect_c >> (bh + bw)) & ((1 << by) - 1)
         xmin_c = rect_c >> (bh + bw + by)
-        counts_c = jnp.minimum(tw_c * th_c, cfg.max_tiles_per_gaussian)
+        # Recover counts from the carried lanes (rect = 0 rows — empties and
+        # fully-culled maskable splats — give 0 either way).
+        counts_dense = jnp.minimum(tw_c * th_c, cfg.max_tiles_per_gaussian)
+        counts_c = jnp.where(
+            mask_c != 0,
+            jnp.minimum(jax.lax.population_count(mask_c),
+                        cfg.max_tiles_per_gaussian),
+            counts_dense,
+        )
     else:  # enormous tile grids: gather fields separately
         rect_c = None
+        mask_c = None
         _, _, comp_order = jax.lax.sort(
             ((counts == 0).astype(jnp.int32), depth, iota_n), num_keys=3
         )
@@ -365,7 +478,7 @@ def bin_gaussians(
         from .pallas.expand import expand_pairs_pallas
 
         key = expand_pairs_pallas(
-            off_c, rect_c, num_pairs, capacity,
+            off_c, rect_c, mask_c, num_pairs, capacity,
             tiles_x, num_tiles, rank_bits, (by, bw, bh),
             interpret=(impl == "pallas_interpret"),
         )
@@ -416,6 +529,15 @@ def bin_gaussians(
     ids_o = jnp.cumsum(seg_one) - 1                 # depth rank per pair
 
     k = pos - off_p
+    if do_cull:
+        # Survivor-mask stream (same telescoping-delta trick; int32 cumsum
+        # wraparound is two's-complement exact). Pair k of a masked gaussian
+        # occupies its k-th SET BIT's rect-local slot; mask 0 = dense rect.
+        d_mask = jnp.diff(mask_c, prepend=0)
+        seg_mask = z32.at[pos32].add(d_mask, mode="drop")
+        mask_p = jnp.cumsum(seg_mask)
+        sel = _kth_set_bit(mask_p, k)
+        k = jnp.where(mask_p == 0, k, sel)
     tw_safe = jnp.maximum(tw_p, 1)
     tile_x = xm + k % tw_safe
     tile_y = ym + k // tw_safe

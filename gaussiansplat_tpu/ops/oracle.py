@@ -75,6 +75,7 @@ def render_oracle(
         q = co[0] * dx * dx + 2.0 * co[1] * dx * dy + co[2] * dy * dy
         alpha = op * jnp.exp(-0.5 * q)
         alpha = jnp.where(alpha < cfg.alpha_min, 0.0, alpha)
+        alpha = jnp.where(q > cfg.sigma_radius * cfg.sigma_radius, 0.0, alpha)
         alpha = jnp.minimum(alpha, cfg.alpha_max)
         if respect_tiles:
             inside = (

@@ -84,6 +84,7 @@ def _bwd_kernel(
     tiles_x: int,
     alpha_min: float,
     alpha_max: float,
+    sigma_sq: float,
     packed: bool,
 ):
     t = pl.program_id(0)
@@ -195,7 +196,7 @@ def _bwd_kernel(
 
         alpha, unclamped, (mx, my, a, b, c, op) = chunk_alpha(
             basis, chunk, ox, oy, base + ci * cs, start, end,
-            alpha_min, alpha_max,
+            alpha_min, alpha_max, sigma_sq,
         )
         ell = jnp.log1p(-alpha)
         s_incl = tri_dot_split(ell, tri)
@@ -334,6 +335,7 @@ def rasterize_backward(
         tiles_x=tiles_x,
         alpha_min=cfg.alpha_min,
         alpha_max=cfg.alpha_max,
+        sigma_sq=cfg.sigma_radius * cfg.sigma_radius,
         packed=packed,
     )
 

@@ -340,8 +340,16 @@ def chunk_alpha(
     end: jax.Array,        # () segment end (global)
     alpha_min: float,
     alpha_max: float,
+    sigma_sq: float,
 ):
-    """Alpha matrix (PX, CS) plus the clamp gate used by backward."""
+    """Alpha matrix (PX, CS) plus the clamp gate used by backward.
+
+    Support is gated explicitly: a splat contributes only where
+    q <= sigma_radius^2 AND alpha >= alpha_min. The q-gate makes the
+    rendered footprint the exact sigma_radius ellipse — independent of the
+    binning rectangle's shape — which is what lets binning cull whole
+    (gaussian, tile) pairs whose tile lies outside that support with
+    bit-identical output (ops/binning.py tile_mask)."""
     cs = chunk.shape[1]
     q_rows, mx, my, a, b, c = quad_coeff_matrix(chunk, ox, oy)
     q = q_dot_exact_basis(basis, q_rows)              # (PX, CS)
@@ -349,7 +357,7 @@ def chunk_alpha(
     alpha_raw = op * jnp.exp(-0.5 * q)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + gidx0
     in_seg = (lane >= start) & (lane < end)
-    live = in_seg & (alpha_raw >= alpha_min)
+    live = in_seg & (alpha_raw >= alpha_min) & (q <= sigma_sq)
     alpha = jnp.where(live, jnp.minimum(alpha_raw, alpha_max), 0.0)
     unclamped = live & (alpha_raw < alpha_max)
     return alpha, unclamped, (mx, my, a, b, c, op)

@@ -56,11 +56,11 @@ def _expand_kernel(
     g_blk_ref,      # (NB + NBUF,) i32 SMEM: first owning descriptor per block
     np_ref,         # (1,) i32 SMEM: num_pairs
     # inputs
-    desc_ref,       # (2, Npad) i32 HBM: rows off / packed-rect
+    desc_ref,       # (3, Npad) i32 HBM: rows off / packed-rect / survivor-mask
     # outputs
     key_ref,        # (1, 1, BP) i32 VMEM block
     # scratch
-    desc_buf,       # (NBUF, 2, W) i32 VMEM ring
+    desc_buf,       # (NBUF, 3, W) i32 VMEM ring
     sems,           # (NBUF,) DMA semaphores
     *,
     nb: int,
@@ -91,15 +91,23 @@ def _expand_kernel(
         win_dma(nxt % NBUF, nxt).start()
 
     win_dma(j % NBUF, j).wait()
-    win = desc_buf[j % NBUF]                     # (2, W) i32
+    win = desc_buf[j % NBUF]                     # (3, W) i32
 
     off = win[0:1, :]                            # (1, W) segment offsets
     rect = win[1:2, 0:W1]                        # (1, W1) packed tile rect
+    maskd = win[2:3, 0:W1]                       # (1, W1) survivor bitmask
 
     by, bw, bh = pack_bits
     xm = (rect >> (by + bw + bh)).astype(jnp.float32)
     ym = ((rect >> (bw + bh)) & ((1 << by) - 1)).astype(jnp.float32)
     tw = ((rect >> bh) & ((1 << bw) - 1)).astype(jnp.float32)
+
+    # Survivor mask split into four 8-bit rows (each <= 255, exact in bf16)
+    # so the same one-hot MXU extraction carries it to pair space.
+    m0 = (maskd & 255).astype(jnp.float32)
+    m1 = ((maskd >> 8) & 255).astype(jnp.float32)
+    m2 = ((maskd >> 16) & 255).astype(jnp.float32)
+    m3 = ((maskd >> 24) & 255).astype(jnp.float32)
 
     # Owner-local offset, shifted non-negative and split into 7-bit halves so
     # both are exact in bf16 (owner offL <= BP + max_tiles_per_gaussian;
@@ -115,8 +123,8 @@ def _expand_kernel(
     one = jnp.ones((1, W1), jnp.float32)
 
     vals = jnp.concatenate(
-        [xm, ym, tw, off_hi, off_lo, s_hi, s_lo, one], axis=0
-    )                                            # (8, W1)
+        [xm, ym, tw, off_hi, off_lo, s_hi, s_lo, one, m0, m1, m2, m3], axis=0
+    )                                            # (12, W1)
 
     # Interval-membership one-hot: pair p (sublane) belongs to window column
     # g iff off[g] <= p < off[g + 1]. Exactly one column fires per valid pair
@@ -130,7 +138,7 @@ def _expand_kernel(
         vals.astype(jnp.bfloat16), onehot,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                            # (8, BP)
+    )                                            # (12, BP)
 
     xm_p = out[0:1, :]
     ym_p = out[1:2, :]
@@ -138,11 +146,27 @@ def _expand_kernel(
     off_p = out[3:4, :] * 128.0 + out[4:5, :] - 1024.0
     s_p = (out[5:6, :] * 128.0 + out[6:7, :]).astype(jnp.int32)
     found = out[7:8, :] > 0.5
+    mask_p = (
+        out[8:9, :].astype(jnp.int32)
+        | (out[9:10, :].astype(jnp.int32) << 8)
+        | (out[10:11, :].astype(jnp.int32) << 16)
+        | (out[11:12, :].astype(jnp.int32) << 24)
+    )                                            # (1, BP) survivor bitmask
 
     k = (
         jax.lax.broadcasted_iota(jnp.int32, (1, BP), 1).astype(jnp.float32)
         - off_p
     )
+    # Masked rects: pair k occupies the k-th SET BIT's rect-local slot
+    # (mask 0 = dense rect, keep k). Bit indices <= 31 are exact in f32.
+    k_i = k.astype(jnp.int32)
+    cnt = jnp.zeros_like(k_i)
+    sel = jnp.zeros_like(k_i)
+    for bit in range(32):
+        isset = (mask_p >> bit) & 1
+        sel = jnp.where((cnt == k_i) & (isset == 1), bit, sel)
+        cnt = cnt + isset
+    k = jnp.where(mask_p == 0, k, sel.astype(jnp.float32))
     ky = jnp.floor(k / tw_p)
     kx = k - ky * tw_p
     tile = (ym_p + ky) * tiles_x + (xm_p + kx)
@@ -158,6 +182,7 @@ def _expand_kernel(
 def expand_pairs_pallas(
     off_clip: jax.Array,    # (N,) i32 compacted, capacity-clipped offsets
     packed_rect: jax.Array,  # (N,) i32 (xmin << .. | ymin << .. | tw << .. | th)
+    mask: jax.Array,        # (N,) i32 survivor bitmask (0 = dense rect)
     num_pairs: jax.Array,   # () i32
     capacity: int,
     tiles_x: int,
@@ -182,6 +207,7 @@ def expand_pairs_pallas(
         [
             jnp.concatenate([off_clip, pad]),
             jnp.concatenate([packed_rect, zpad]),
+            jnp.concatenate([mask, zpad]),
         ]
     )
 
@@ -201,7 +227,7 @@ def expand_pairs_pallas(
         out_specs=pl.BlockSpec((1, 1, BP), lambda j, *_: (j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 2, W), jnp.int32),
+            pltpu.VMEM((NBUF, 3, W), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )

@@ -67,6 +67,7 @@ def _fwd_kernel(
     tiles_x: int,
     alpha_min: float,
     alpha_max: float,
+    sigma_sq: float,
     log_eps: float,
     packed: bool,
 ):
@@ -127,7 +128,7 @@ def _fwd_kernel(
 
         alpha, _, _ = chunk_alpha(
             basis, chunk, ox, oy, base + ci * cs, start, end,
-            alpha_min, alpha_max,
+            alpha_min, alpha_max, sigma_sq,
         )
         ell = jnp.log1p(-alpha)                                   # (PX, CS)
         s_incl = tri_dot_split(ell, tri)
@@ -214,6 +215,7 @@ def rasterize_forward(
         tiles_x=tiles_x,
         alpha_min=cfg.alpha_min,
         alpha_max=cfg.alpha_max,
+        sigma_sq=cfg.sigma_radius * cfg.sigma_radius,
         log_eps=math.log(cfg.trans_eps) if cfg.trans_eps > 0 else -1e30,
         packed=packed,
     )

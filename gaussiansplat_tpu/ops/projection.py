@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..config import RasterConfig
@@ -121,20 +122,38 @@ def project_gaussians(
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     lambda1 = mid + disc
     radius_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
-    # Exact per-axis extents of the sigma_radius ellipse: the AABB half-width
-    # along x is sigma_r * sqrt(cov_xx) (= sqrt(a)), NOT sqrt(lambda_max) —
-    # for anisotropic splats this rect is up to ~2x smaller in area than the
-    # classic INRIA square, cutting every pair-proportional cost downstream
-    # (binning sort, payload gather, kernel chunks, gradient reduction).
-    rx_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(a, 0.0)))
-    ry_f = jnp.ceil(cfg.sigma_radius * jnp.sqrt(jnp.maximum(c, 0.0)))
 
     # --- color + opacity ---
     view_dir = means - camera.position[None, :]
     rgb = eval_sh_flat(sh.astype(f32), view_dir, sh_degree)
     opacity = jax.nn.sigmoid(logit_opacities.astype(f32))
 
-    valid = in_front & det_ok & (radius_f > 0.0)
+    # Exact per-axis extents of the splat's visible support: the AABB
+    # half-width along x of the ellipse {q <= s^2} is s * sqrt(cov_xx)
+    # (= sqrt(a)), NOT sqrt(lambda_max) — for anisotropic splats this rect is
+    # up to ~2x smaller in area than the classic INRIA square. The support
+    # radius s itself is OPACITY-AWARE: the rasterizers zero every
+    # contribution with alpha < alpha_min or q > sigma_radius^2
+    # (ops/pallas/common.chunk_alpha), so alpha = op*exp(-q/2) >= alpha_min
+    # bounds the visible region by q <= 2*ln(op/alpha_min); binning anything
+    # beyond min(sigma_radius, sqrt(2 ln(op/alpha_min))) sigmas is provably
+    # dead work. Low-opacity splats (post densification/opacity-reset) shrink
+    # dramatically; op <= alpha_min splats vanish entirely. The 1e-3/1e-2
+    # slack keeps borderline pixels on the kept side of the kernels' own
+    # (differently-rounded) gate. Every pair-proportional cost downstream
+    # scales with these rects: binning sort, payload gather, kernel chunks,
+    # gradient un-permute + reduction.
+    tau_op = 2.0 * (jnp.log(jnp.maximum(opacity, 1e-12))
+                    - float(np.log(cfg.alpha_min)))
+    s_eff = jnp.minimum(
+        cfg.sigma_radius,
+        jnp.sqrt(jnp.maximum(tau_op, 0.0)) * 1.001 + 1e-2,
+    )
+    rx_f = jnp.ceil(s_eff * jnp.sqrt(jnp.maximum(a, 0.0)))
+    ry_f = jnp.ceil(s_eff * jnp.sqrt(jnp.maximum(c, 0.0)))
+
+    # op <= alpha_min never passes the rasterizers' alpha gate: fully dead.
+    valid = in_front & det_ok & (radius_f > 0.0) & (opacity > cfg.alpha_min)
     if alive is not None:
         valid = valid & alive
     # Cull gaussians whose (per-axis) bounding box misses the image.

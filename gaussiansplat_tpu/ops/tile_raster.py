@@ -95,7 +95,13 @@ def _chunk_alpha(
     q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
     alpha = op * jnp.exp(-0.5 * q)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
-    valid = (lane < n_valid) & (alpha >= cfg.alpha_min)
+    # Same explicit sigma_radius-ellipse support gate as the Pallas kernel
+    # (ops/pallas/common.chunk_alpha): footprint independent of binning rects.
+    valid = (
+        (lane < n_valid)
+        & (alpha >= cfg.alpha_min)
+        & (q <= cfg.sigma_radius * cfg.sigma_radius)
+    )
     alpha = jnp.where(valid, jnp.minimum(alpha, cfg.alpha_max), 0.0)
     colors = chunk[:, 6:9]
     return alpha, colors
