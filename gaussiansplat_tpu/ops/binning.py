@@ -90,12 +90,22 @@ def _rect_qmin(ca, cb, cc, x0, x1, y0, y1):
     det(conic) <= 0. So it suffices to 1D-minimize over the two near faces
     (x = clamp(0) and y = clamp(0)), clamping each face's unconstrained
     stationary point into the face's range; corners are covered by both.
-    When the origin is inside, both clamps hit 0 and qmin = 0."""
+    When the origin is inside, both clamps hit 0 and qmin = 0.
+
+    Degenerate rows must stay finite: zero-padded arrival slots in the
+    gauss-shard exchange decode to conic = 0, and 0/0 here would propagate
+    NaN into the keep test (NaN compares False -> tile silently culled —
+    harmless today because valid=False masks those rows, but one refactor
+    away from eating real pairs). Clamping the denominators keeps qmin
+    finite (= 0 for conic = 0, i.e. "infinite support, keep the tile") and
+    is a no-op for any PD conic (ca, cc > 0)."""
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
     xe = jnp.clip(0.0, x0, x1)
     ye = jnp.clip(0.0, y0, y1)
-    ys = jnp.clip(-cb * xe / cc, y0, y1)
+    ys = jnp.clip(-cb * xe / cc_s, y0, y1)
     q1 = ca * xe * xe + 2.0 * cb * xe * ys + cc * ys * ys
-    xs = jnp.clip(-cb * ye / ca, x0, x1)
+    xs = jnp.clip(-cb * ye / ca_s, x0, x1)
     q2 = ca * xs * xs + 2.0 * cb * xs * ye + cc * ye * ye
     return jnp.minimum(q1, q2)
 
@@ -467,24 +477,35 @@ def bin_gaussians(
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     rank_bits = max(int(n - 1).bit_length(), 1) if n > 1 else 1
     packed_keys = tile_bits + rank_bits <= 31
-    # The expand kernel emits packed keys, so it covers the packed-key regime.
+    # The expand kernel covers both key regimes: packed single-key when the
+    # (tile, rank) pair fits 31 bits, else separate tile/rank streams for a
+    # stable tile-keyed sort (1080p at >= 2M gaussians — the BASELINE
+    # config-3..5 scales — lands here; round 2 silently fell back to the
+    # XLA delta-scatter expansion, 3.6x worse per ray).
     use_pallas_expand = (
-        impl in ("pallas", "pallas_interpret")
-        and packed_keys
-        and rect_packable
+        impl in ("pallas", "pallas_interpret") and rect_packable
     )
 
     if use_pallas_expand:
         from .pallas.expand import expand_pairs_pallas
 
-        key = expand_pairs_pallas(
+        out = expand_pairs_pallas(
             off_c, rect_c, mask_c, num_pairs, capacity,
             tiles_x, num_tiles, rank_bits, (by, bw, bh),
             interpret=(impl == "pallas_interpret"),
+            packed=packed_keys,
         )
-        sorted_key, sorted_pos = jax.lax.sort((key, pos), num_keys=1)
-        sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
-        sorted_ids_o = sorted_key & ((1 << rank_bits) - 1)
+        if packed_keys:
+            sorted_key, sorted_pos = jax.lax.sort((out, pos), num_keys=1)
+            sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
+            sorted_ids_o = sorted_key & ((1 << rank_bits) - 1)
+        else:
+            # Pairs leave the expansion in depth-rank order, so the stable
+            # single-key sort by tile reproduces (tile, rank) lexicographic
+            # order while carrying rank/pos as payload operands.
+            sorted_tiles, sorted_ids_o, sorted_pos = jax.lax.sort(
+                (out[0], out[1], pos), num_keys=1, is_stable=True
+            )
         return _finish_binning(
             sorted_ids_o, order, sorted_tiles, sorted_pos, off_c,
             num_pairs, overflow, num_tiles,

@@ -26,6 +26,12 @@ Here each grid program emits one BP-pair block of sort keys:
   4. the packed (tile << rank_bits | rank) key is decoded with a few
      (1, BP) integer ops and written out; pairs past num_pairs get the
      sentinel key, so the subsequent single lax.sort drops them to the tail.
+     When tile_bits + rank_bits > 31 (e.g. 1080p at >= 2M gaussians, the
+     BASELINE config-3..5 regime) the kernel instead emits SEPARATE tile and
+     rank streams for a stable tile-keyed 3-operand sort — the expansion
+     stays on the fast path at every scale instead of falling back to the
+     XLA delta-scatter formulation (the round-2 cliff: 3.6x worse per-ray
+     at 3M gaussians).
 
 The kernel reads 2 descriptor rows per window (4KB) behind a cross-grid-step
 DMA ring and does ~400 cycles of VPU+MXU work per 256 pairs: ~10x faster
@@ -56,19 +62,30 @@ def _expand_kernel(
     g_blk_ref,      # (NB + NBUF,) i32 SMEM: first owning descriptor per block
     np_ref,         # (1,) i32 SMEM: num_pairs
     # inputs
-    desc_ref,       # (3, Npad) i32 HBM: rows off / packed-rect / survivor-mask
-    # outputs
-    key_ref,        # (1, 1, BP) i32 VMEM block
-    # scratch
-    desc_buf,       # (NBUF, 3, W) i32 VMEM ring
-    sems,           # (NBUF,) DMA semaphores
-    *,
+    desc_ref,       # (4, Npad) i32 HBM: rows off / packed-rect / survivor-mask
+                    # / zero padding (Mosaic tiles i32 VMEM at (4, 128) sublanes
+                    # x lanes, so the windowed DMA below must slice a
+                    # 4-sublane-aligned row count; a 3-row slice fails to
+                    # compile on hardware)
+    # outputs then scratch, in positional order:
+    #   packed   -> key_ref (1, 1, BP) i32, desc_buf, sems
+    #   unpacked -> tile_ref + rank_ref (1, 1, BP) i32 each, desc_buf, sems
+    # where desc_buf is the (NBUF, 4, W) i32 VMEM ring and sems the (NBUF,)
+    # DMA semaphores.
+    *out_refs,
     nb: int,
     tiles_x: int,
     rank_bits: int,
     pack_bits: tuple,   # (by, bw, bh) bit widths of ymin/tw/th in the rect
     sentinel: int,
+    packed: bool,
 ):
+    # Split the scratch refs back out of the trailing varargs (outputs come
+    # first, in out_shape order, then scratch_shapes order).
+    if packed:
+        key_ref, desc_buf, sems = out_refs
+    else:
+        tile_ref, rank_ref, desc_buf, sems = out_refs
     j = pl.program_id(0)
 
     def win_dma(slot, blk):
@@ -91,7 +108,7 @@ def _expand_kernel(
         win_dma(nxt % NBUF, nxt).start()
 
     win_dma(j % NBUF, j).wait()
-    win = desc_buf[j % NBUF]                     # (3, W) i32
+    win = desc_buf[j % NBUF]                     # (4, W) i32; row 3 is padding
 
     off = win[0:1, :]                            # (1, W) segment offsets
     rect = win[1:2, 0:W1]                        # (1, W1) packed tile rect
@@ -173,10 +190,17 @@ def _expand_kernel(
 
     g0 = (g_blk_ref[j] // 128) * 128
     rank = g0 + s_p
-    key = (tile.astype(jnp.int32) << rank_bits) | rank
     p_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BP), 1) + j * BP
     valid = found & (p_lane < np_ref[0])
-    key_ref[0] = jnp.where(valid, key, sentinel)
+    if packed:
+        key = (tile.astype(jnp.int32) << rank_bits) | rank
+        key_ref[0] = jnp.where(valid, key, sentinel)
+    else:
+        # Separate streams for the stable tile-keyed sort (sentinel tile
+        # sorts invalid pairs to the tail; their rank lanes are garbage by
+        # contract — TileBinning.sorted_ranks past num_pairs).
+        tile_ref[0] = jnp.where(valid, tile.astype(jnp.int32), sentinel)
+        rank_ref[0] = rank
 
 
 def expand_pairs_pallas(
@@ -190,8 +214,15 @@ def expand_pairs_pallas(
     rank_bits: int,
     pack_bits: tuple,
     interpret: bool = False,
+    packed: bool = True,
 ) -> jax.Array:
-    """Emit the (capacity,) i32 packed sort keys for every pair slot."""
+    """Emit the per-pair-slot sort streams.
+
+    packed=True: one (capacity,) i32 array of (tile << rank_bits | rank)
+    keys. packed=False (tile_bits + rank_bits > 31): a (tile, rank) tuple of
+    (capacity,) i32 arrays for a stable tile-keyed sort carrying rank as a
+    payload operand — pairs are emitted in depth-rank order, so a stable
+    sort by tile alone reproduces the (tile, rank) lexicographic order."""
     n = off_clip.shape[0]
     nb = -(-capacity // BP)
 
@@ -208,6 +239,10 @@ def expand_pairs_pallas(
             jnp.concatenate([off_clip, pad]),
             jnp.concatenate([packed_rect, zpad]),
             jnp.concatenate([mask, zpad]),
+            # Zero padding row: keeps the descriptor sublane count at 4 so the
+            # kernel's windowed DMA slice is aligned to Mosaic's (4, 128) i32
+            # tiling (a 3-row slice fails Mosaic compile on real TPUs).
+            jnp.concatenate([jnp.zeros((n,), jnp.int32), zpad]),
         ]
     )
 
@@ -217,25 +252,32 @@ def expand_pairs_pallas(
         tiles_x=tiles_x,
         rank_bits=rank_bits,
         pack_bits=pack_bits,
-        sentinel=num_tiles << rank_bits,
+        sentinel=(num_tiles << rank_bits) if packed else num_tiles,
+        packed=packed,
     )
 
+    out_spec = pl.BlockSpec((1, 1, BP), lambda j, *_: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nb, 1, BP), jnp.int32)
+    n_out = 1 if packed else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 1, BP), lambda j, *_: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[out_spec] * n_out,
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 3, W), jnp.int32),
+            pltpu.VMEM((NBUF, 4, W), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
-    keys = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 1, BP), jnp.int32),
+        out_shape=[out_shape] * n_out,
         interpret=interpret,
     )(g_blk, num_pairs[None], desc)
-    return keys.reshape(nb * BP)[:capacity]
+    if packed:
+        return out[0].reshape(nb * BP)[:capacity]
+    return (out[0].reshape(nb * BP)[:capacity],
+            out[1].reshape(nb * BP)[:capacity])

@@ -24,11 +24,17 @@ def _fake_proj(n, width, height, seed=0, max_r=None, n_valid=None):
     if n_valid is not None:
         valid[n_valid:] = False
         radius[n_valid:] = 0
+    # conic = 0 (guarded to qmin = 0, i.e. infinite support) + opacity = 1
+    # make the tile-survivor cull keep every rect tile, so the dense-rect
+    # numpy oracle below models the binning exactly while the cull machinery
+    # (mask streams, kth-set-bit decode) still runs with all-ones masks.
+    # Output-exactness of the cull itself is covered by
+    # test_render.py::TestBinning::test_tile_cull_output_exact.
     z3 = np.zeros((n, 3), np.float32)
     return Projected(
         mean2d=jnp.asarray(mean2d), depth=jnp.asarray(depth),
         conic=jnp.asarray(z3), rgb=jnp.asarray(z3),
-        opacity=jnp.zeros((n,), jnp.float32),
+        opacity=jnp.ones((n,), jnp.float32),
         radius=jnp.asarray(radius),
         radius_xy=jnp.stack(
             [jnp.asarray(radius), jnp.asarray(radius)], axis=-1),

@@ -59,9 +59,14 @@ class TestBinning:
             assert (np.diff(seg) >= -1e-6).all(), f"tile {t} not depth sorted"
 
     def test_pairs_match_bruteforce(self):
+        # The brute-force oracle enumerates the DENSE rect, so run with the
+        # tile-survivor cull off; the cull's own evidence is the
+        # output-exactness test below.
+        cfg_nocull = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                                  tile_cull=False)
         model, cam = setup_scene(n=64)
         proj = project(model, cam)
-        b = bin_gaussians(proj, cam.width, cam.height, CFG)
+        b = bin_gaussians(proj, cam.width, cam.height, cfg_nocull)
         tiles_x, tiles_y = tile_grid(cam.width, cam.height, CFG.tile_size)
         # brute force expected pair set (exact per-axis ellipse AABB)
         mean2d = np.asarray(proj.mean2d)
@@ -96,6 +101,39 @@ class TestBinning:
         assert int(b.overflow) > 0
         assert int(b.num_pairs) == b.capacity
 
+    def test_tile_cull_output_exact(self):
+        # The survivor mask only drops tiles where every pixel fails the
+        # rasterizer's q/alpha gates, whose contributions are EXACTLY zero
+        # (ops/tile_raster.py live mask), so culling must not change the
+        # image at all — while measurably shrinking the pair list.
+        cfg_cull = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                                tile_cull=True)
+        cfg_nocull = RasterConfig(tile_size=32, chunk_size=128, impl="xla",
+                                  tile_cull=False)
+        bg = jnp.array([0.05, 0.1, 0.15])
+        for seed in (0, 1):
+            model, cam = setup_scene(n=256, seed=seed)
+            proj = project(model, cam)
+            b_on = bin_gaussians(proj, cam.width, cam.height, cfg_cull)
+            b_off = bin_gaussians(proj, cam.width, cam.height, cfg_nocull)
+            assert int(b_on.num_pairs) < int(b_off.num_pairs), \
+                "cull removed nothing — test scene too easy"
+            out_on = render(model, cam, cfg_cull, sh_degree=1,
+                            background=bg, impl="xla")
+            out_off = render(model, cam, cfg_nocull, sh_degree=1,
+                             background=bg, impl="xla")
+            # Culled pairs contribute exactly 0, but removing them shifts the
+            # chunk boundaries of the compositing reduction, reassociating
+            # f32 sums — bounded by a few ULP. A wrongly-culled VISIBLE tile
+            # would move pixels by >= alpha_min * color ~ 4e-3, 4 orders of
+            # magnitude above this tolerance.
+            np.testing.assert_allclose(
+                np.asarray(out_on.image), np.asarray(out_off.image),
+                atol=5e-7, rtol=0)
+            np.testing.assert_allclose(
+                np.asarray(out_on.transmittance),
+                np.asarray(out_off.transmittance), atol=5e-7, rtol=0)
+
 
 class TestTiledVsOracle:
     @pytest.mark.parametrize("seed", [0, 1])
@@ -123,6 +161,29 @@ class TestTiledVsOracle:
         out = render(model, cam, CFG, sh_degree=1, background=bg, impl="xla")
         assert out.image.shape == (72, 100, 3)
         np.testing.assert_allclose(out.image, img_o, atol=5e-3)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matrix_oracle_matches_scan_oracle(self, seed):
+        """The batched matrix oracle (GT renderer of the bundled quality
+        benchmark) against the sequential-scan oracle: same alpha gates,
+        same compositing, independent evaluation orders. The scan oracle
+        restricts splats to their bounding tiles (respect_tiles) while the
+        matrix oracle uses the pure ellipse support, but both gates zero the
+        same contributions, so agreement is to summation tolerance."""
+        from gaussiansplat_tpu.ops import render_oracle_full
+
+        model, cam = setup_scene(n=256, seed=seed, width=120, height=88)
+        bg = jnp.array([0.3, 0.15, 0.05])
+        proj = project(model, cam)
+        img_s, trans_s = render_oracle(proj, cam.width, cam.height, CFG, bg)
+        img_m, trans_m = jax.jit(
+            lambda p: render_oracle_full(p, cam.width, cam.height, CFG, bg,
+                                         pixel_chunk=512)
+        )(proj)
+        np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
+                                   atol=1e-5, rtol=0)
+        np.testing.assert_allclose(np.asarray(trans_m), np.asarray(trans_s),
+                                   atol=1e-5, rtol=0)
 
     def test_empty_scene_is_background(self):
         model, cam = setup_scene(n=4)
