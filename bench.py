@@ -10,6 +10,7 @@ compares against our own recorded first-round number when present
 (benchmarks/baseline.json), else 1.0.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -29,13 +30,27 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-# Headline config (BASELINE north star: 1080p, 1M gaussians, SH3). Env
-# overrides allow the other BASELINE configs without forking the harness,
-# e.g. config 4 (4K, 4M gaussians):
-#   GSPLAT_BENCH_WIDTH=3840 GSPLAT_BENCH_HEIGHT=2160 GSPLAT_BENCH_N=4000000
-WIDTH = int(os.environ.get("GSPLAT_BENCH_WIDTH", 1920))
-HEIGHT = int(os.environ.get("GSPLAT_BENCH_HEIGHT", 1080))
-N_GAUSSIANS = int(os.environ.get("GSPLAT_BENCH_N", 1_000_000))
+# Headline config (BASELINE north star: 1080p, 1M gaussians, SH3).
+# `--config` selects a named BASELINE shape; env overrides take precedence
+# for custom sweeps, e.g. GSPLAT_BENCH_WIDTH=3840 GSPLAT_BENCH_HEIGHT=2160
+# GSPLAT_BENCH_N=4000000.
+CONFIGS = {
+    "1080p1m": (1920, 1080, 1_000_000),   # headline / BASELINE north star
+    "1080p3m": (1920, 1080, 3_000_000),   # BASELINE config-3 shape (garden)
+    "4k4m": (3840, 2160, 4_000_000),      # BASELINE config 4
+}
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--config", choices=sorted(CONFIGS), default="1080p1m")
+ap.add_argument("--out", default=None,
+                help="also write the full validity-stamped record (timings, "
+                     "overflow, max chunk count) to this JSON file")
+ARGS, _ = ap.parse_known_args()
+
+_W, _H, _N = CONFIGS[ARGS.config]
+WIDTH = int(os.environ.get("GSPLAT_BENCH_WIDTH", _W))
+HEIGHT = int(os.environ.get("GSPLAT_BENCH_HEIGHT", _H))
+N_GAUSSIANS = int(os.environ.get("GSPLAT_BENCH_N", _N))
 SH_DEGREE = 3
 WARMUP = 3
 ITERS = 10
@@ -78,12 +93,13 @@ def main():
     # Guard the measurement's validity: dropped pairs would silently shrink
     # the measured work and inflate rays/s.
     @jax.jit
-    def count_overflow(params):
+    def validity_bits(params):
         m = model.with_params(params)
-        return render(m, camera, cfg, sh_degree=SH_DEGREE, background=bg,
-                      impl=impl).overflow
+        out = render(m, camera, cfg, sh_degree=SH_DEGREE, background=bg,
+                     impl=impl)
+        return out.overflow, out.num_pairs, out.max_chunks_needed
 
-    n_overflow = int(count_overflow(params))
+    n_overflow, n_pairs, max_chunks = map(int, validity_bits(params))
     if n_overflow:
         sys.stderr.write(
             f"[bench] WARNING: {n_overflow} pairs dropped — raise "
@@ -159,6 +175,21 @@ def main():
     if n_overflow:  # make an invalid (work-dropping) run machine-detectable
         result["overflow"] = n_overflow
     print(json.dumps(result))
+
+    if ARGS.out:
+        record = dict(
+            result,
+            config=ARGS.config,
+            width=WIDTH, height=HEIGHT, n_gaussians=N_GAUSSIANS,
+            sh_degree=SH_DEGREE, backend=backend, impl=impl,
+            fwd_ms=t_fwd * 1e3, step_ms=t_step * 1e3,
+            overflow=n_overflow, num_pairs=n_pairs,
+            max_chunks_needed=max_chunks,
+            pairs_per_gaussian_budget=cfg.pairs_per_gaussian,
+        )
+        with open(ARGS.out, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":

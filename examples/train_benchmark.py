@@ -42,13 +42,22 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=3)
     ap.add_argument("--out", default="runs/benchmark")
     ap.add_argument("--impl", default=None)
+    ap.add_argument("--gt-renderer", default="oracle",
+                    choices=["oracle", "tiled"],
+                    help="GT provenance: 'oracle' = dense matrix oracle "
+                         "(independent of the rasterizer under test)")
+    ap.add_argument("--densify-grad-thresh", type=float, default=1.2e-4,
+                    help="lower than the 3DGS 2e-4 default: the bundled "
+                         "scene's fine textures need config-2-class density "
+                         "(~100k+ alive) to resolve")
     args = ap.parse_args()
 
-    print(f"backend={jax.default_backend()}; building scene ...", flush=True)
+    print(f"backend={jax.default_backend()}; building scene "
+          f"(gt={args.gt_renderer}) ...", flush=True)
     scene, _ = benchmark_scene(
         n_points=args.n_points, width=args.size, height=args.size,
         init_points=args.init_points, capacity=args.capacity,
-        impl=args.impl,
+        impl=args.impl, gt_renderer=args.gt_renderer,
     )
     print(f"scene '{scene.name}': {len(scene.train_views)} train / "
           f"{len(scene.test_views)} test views, "
@@ -62,6 +71,7 @@ def main():
         iterations=args.iterations,
         sh_degree=args.sh_degree,
         densify_end=min(15_000, args.iterations // 2),
+        densify_grad_thresh=args.densify_grad_thresh,
         eval_every=500,
         log_every=100,
     )
@@ -82,6 +92,8 @@ def main():
     result = dict(
         scene=scene.name, iterations=args.iterations,
         resolution=f"{args.size}x{args.size}",
+        gt_renderer=args.gt_renderer,
+        densify_grad_thresh=args.densify_grad_thresh,
         final_gaussians=n, **final,
     )
     with open(os.path.join(args.out, "result.json"), "w") as f:

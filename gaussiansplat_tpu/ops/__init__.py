@@ -1,7 +1,7 @@
 from .camera import Camera, look_at, make_camera, orbit_camera
 from .projection import Projected, make_payload, project_gaussians
 from .binning import TileBinning, bin_gaussians, tile_grid
-from .oracle import render_oracle
+from .oracle import render_oracle, render_oracle_full
 
 __all__ = [
     "Camera",
@@ -14,5 +14,6 @@ __all__ = [
     "orbit_camera",
     "project_gaussians",
     "render_oracle",
+    "render_oracle_full",
     "tile_grid",
 ]

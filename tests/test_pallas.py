@@ -245,6 +245,42 @@ class TestPallasExpand:
             bp.sorted_ranks[:npairs], bx.sorted_ranks[:npairs])
 
 
+    def test_unpacked_key_regime(self):
+        """tile_bits + rank_bits > 31 (the BASELINE config-3..5 scale class):
+        the expand kernel must emit separate tile/rank streams that the
+        stable tile-keyed sort orders identically to the XLA fallback.
+
+        2.2M mostly-invalid gaussians push rank_bits to 22 while the 32x16
+        tile grid keeps tile_bits at 10 (sum 32 > 31) and the rect pack at
+        22 bits; capacity is pinned small so the interpret-mode kernel runs
+        few grid steps."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_binning_fallbacks import _fake_proj
+        from gaussiansplat_tpu.ops.binning import bin_gaussians
+        from gaussiansplat_tpu.config import RasterConfig
+
+        n, width, height, ts = 2_200_000, 1024, 512, 32
+        cfg = RasterConfig(tile_size=ts, impl="xla")
+        proj, *_ = _fake_proj(n, width, height, seed=5, n_valid=64,
+                              max_r=width / 16)
+        f = lambda p, impl: bin_gaussians(p, width, height, cfg,
+                                          capacity=4096, impl=impl)
+        bx = jax.jit(lambda p: f(p, "xla"))(proj)
+        bp = jax.jit(lambda p: f(p, "pallas_interpret"))(proj)
+        assert int(bx.num_pairs) > 0
+        npairs = int(bx.num_pairs)
+        np.testing.assert_array_equal(bp.num_pairs, bx.num_pairs)
+        np.testing.assert_array_equal(bp.overflow, bx.overflow)
+        np.testing.assert_array_equal(bp.tile_starts, bx.tile_starts)
+        np.testing.assert_array_equal(
+            bp.sorted_tiles[:npairs], bx.sorted_tiles[:npairs])
+        np.testing.assert_array_equal(
+            bp.sorted_ranks[:npairs], bx.sorted_ranks[:npairs])
+        np.testing.assert_array_equal(
+            bp.sorted_pos[:npairs], bx.sorted_pos[:npairs])
+
+
 class TestPallasBackward:
     @pytest.mark.parametrize(
         "cfg", [CFG_EXACT, CFG_SMALL_CHUNK_EXACT], ids=["cs128", "cs8"])
