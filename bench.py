@@ -34,10 +34,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # `--config` selects a named BASELINE shape; env overrides take precedence
 # for custom sweeps, e.g. GSPLAT_BENCH_WIDTH=3840 GSPLAT_BENCH_HEIGHT=2160
 # GSPLAT_BENCH_N=4000000.
+# (width, height, n, pairs_per_gaussian budget). Every P-proportional cost
+# (sorts, gathers, kernel streams) scales with the STATIC pair capacity, so
+# each config's budget is its measured pairs/gaussian (benchmarks/
+# bench_*_r3.json artifacts, under the exact-AABB rects + survivor cull)
+# plus ~10-15% headroom; the overflow validity bit below catches a budget
+# ever going stale.
 CONFIGS = {
-    "1080p1m": (1920, 1080, 1_000_000),   # headline / BASELINE north star
-    "1080p3m": (1920, 1080, 3_000_000),   # BASELINE config-3 shape (garden)
-    "4k4m": (3840, 2160, 4_000_000),      # BASELINE config 4
+    "1080p1m": (1920, 1080, 1_000_000, 2.7),  # measured 2.44 pairs/gaussian
+    "1080p3m": (1920, 1080, 3_000_000, 2.1),  # measured 1.79 (config-3 shape)
+    "4k4m": (3840, 2160, 4_000_000, 2.9),     # BASELINE config 4
 }
 
 ap = argparse.ArgumentParser()
@@ -47,10 +53,11 @@ ap.add_argument("--out", default=None,
                      "overflow, max chunk count) to this JSON file")
 ARGS, _ = ap.parse_known_args()
 
-_W, _H, _N = CONFIGS[ARGS.config]
+_W, _H, _N, _PPG = CONFIGS[ARGS.config]
 WIDTH = int(os.environ.get("GSPLAT_BENCH_WIDTH", _W))
 HEIGHT = int(os.environ.get("GSPLAT_BENCH_HEIGHT", _H))
 N_GAUSSIANS = int(os.environ.get("GSPLAT_BENCH_N", _N))
+PAIRS_BUDGET = float(os.environ.get("GSPLAT_BENCH_PAIRS", _PPG))
 SH_DEGREE = 3
 WARMUP = 3
 ITERS = 10
@@ -64,11 +71,7 @@ def main():
     from gaussiansplat_tpu.train.loss import photometric_loss
 
     backend = jax.default_backend()
-    # Every P-proportional cost (sorts, gathers, kernel streams) scales with
-    # the STATIC pair capacity, so keep the budget tight: this scene measures
-    # ~2.63 pairs/gaussian under the exact-AABB rects; 2.9 leaves 10%
-    # headroom (overflow is reported if a config exceeds the budget).
-    cfg = RasterConfig(pairs_per_gaussian=2.9)
+    cfg = RasterConfig(pairs_per_gaussian=PAIRS_BUDGET)
 
     # Scene scaled so splats land at realistic sizes (~1-3 tiles each) at
     # ANY config: focal scales with width (same framing), world gaussian

@@ -81,6 +81,31 @@ def main():
     seg_row = jax.jit(lambda d, i: jax.ops.segment_sum(
         d, i, num_segments=n, indices_are_sorted=True))
 
+    # --- backward un-permute candidates (reduce_pair_grads_packed_t):
+    # move 8 packed grad lanes from sorted order to pre-sort order given the
+    # permutation sorted_pos. (a) carry lanes through one variadic sort
+    # (current impl); (b) invert the permutation with a unique-indices
+    # scatter then lane-gather; (c) invert with a 2-op sort then lane-gather.
+    sorted_pos = jax.random.permutation(k0, p).astype(jnp.int32)
+    grads8 = jax.random.normal(k1, (8, p), jnp.float32)
+    iota_p = jnp.arange(p, dtype=jnp.int32)
+
+    unperm_carry = jax.jit(lambda sp, g: jax.lax.sort(
+        (sp,) + tuple(g[i] for i in range(8)), num_keys=1))
+
+    def _unperm_scatter(sp, g):
+        inv = jnp.zeros((p,), jnp.int32).at[sp].set(
+            iota_p, mode="drop", unique_indices=True)
+        return g[:, inv]
+
+    unperm_scatter = jax.jit(_unperm_scatter)
+
+    def _unperm_sortinv(sp, g):
+        inv = jax.lax.sort((sp, iota_p), num_keys=1)[1]
+        return g[:, inv]
+
+    unperm_sortinv = jax.jit(_unperm_sortinv)
+
     null = jax.jit(lambda x: x + 1.0)
     tiny = jnp.zeros((8, 128), jnp.float32)
     rows = [
@@ -96,6 +121,12 @@ def main():
         ("scatter-add rows", lambda: timeit(s_row, d_row, idx)),
         ("scatter-add chan", lambda: timeit(s_chan, d_chan, idx)),
         ("segment_sum sorted idx", lambda: timeit(seg_row, d_row, srt)),
+        ("unpermute carry-sort 9op", lambda: timeit(unperm_carry,
+                                                    sorted_pos, grads8)),
+        ("unpermute scatter+gather", lambda: timeit(unperm_scatter,
+                                                    sorted_pos, grads8)),
+        ("unpermute sortinv+gather", lambda: timeit(unperm_sortinv,
+                                                    sorted_pos, grads8)),
     ]
     print(f"backend={jax.default_backend()} n={n} p={p}")
     for name, f in rows:

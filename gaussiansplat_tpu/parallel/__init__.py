@@ -1,3 +1,9 @@
+from .capacity import (
+    CapacityPlan,
+    max_gaussians_per_chip,
+    min_devices_for,
+    plan_gauss_sharded,
+)
 from .depth_ring import make_depth_ring_render
 from .gauss_shard import (
     GAUSS_AXIS,
@@ -11,9 +17,13 @@ from .render import make_tile_sharded_render, render_strip
 from .train import make_sharded_train_step, pad_targets, stack_cameras
 
 __all__ = [
+    "CapacityPlan",
     "DATA_AXIS",
     "GAUSS_AXIS",
     "TILE_AXIS",
+    "max_gaussians_per_chip",
+    "min_devices_for",
+    "plan_gauss_sharded",
     "init_gauss_sharded_state",
     "make_depth_ring_render",
     "make_gauss_mesh",

@@ -1,0 +1,183 @@
+"""HBM capacity math for beyond-single-chip scenes (BASELINE config 5).
+
+The reference has no analogue (single GPU, dense tiles x N bitmap that
+collapses far below these scales — `forward.jl:120`, SURVEY §5). For the
+gaussian-axis-sharded path (parallel/gauss_shard.py) this module answers,
+in closed form, the planning questions VERDICT r2 missing item 4 raised:
+at a given (N gaussians, mesh size, SH degree, image size), what does each
+chip hold, what send_cap does the all_to_all exchange need, and does the
+whole training step fit in a chip's HBM?
+
+All quantities are exact byte counts of the arrays the implementation
+actually allocates (models/gaussians.py pytree, Adam moments, the
+gauss_shard exchange buffers, the per-strip binning/raster streams); a
+`fits(...)` verdict applies a configurable activation-slack factor for
+XLA temporaries. `tests/test_capacity.py` pins the math against real
+allocations on the virtual mesh; BASELINE.md records the resulting
+config-4/5 placement tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from ..config import RasterConfig
+from ..ops.sh import num_sh_coeffs
+
+# Per-gaussian f32 channels of the parameter pytree (models/gaussians.py):
+# means 3 + quats 4 + log_scales 3 + logit_opacities 1 (+ alive bool, 1 byte).
+_BASE_CH = 11
+# Payload rows exchanged per gaussian by the strip all_to_all
+# (ops/projection.PAYLOAD_DIM).
+_PAYLOAD_CH = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityPlan:
+    """Byte budget of one training step on one chip of a gauss mesh."""
+
+    n_gaussians: int
+    n_devices: int
+    sh_degree: int
+    width: int
+    height: int
+    local_capacity: int        # gaussian slots owned per chip
+    send_cap: int              # exchange entries per (src, dst strip) pair
+    params_bytes: int          # parameter shard
+    optimizer_bytes: int       # Adam m + v mirrors
+    exchange_bytes: int        # send + recv all_to_all buffers
+    raster_bytes: int          # per-strip binning + sorted payload + grads
+    image_bytes: int           # strip image/transmittance/cotangents
+    total_bytes: int
+
+    def fits(self, hbm_bytes: int = 16 << 30, slack: float = 1.35) -> bool:
+        """True if the step fits under `hbm_bytes` with `slack` headroom for
+        XLA fusion temporaries (measured 1.2-1.3x on the 1080p configs)."""
+        return self.total_bytes * slack <= hbm_bytes
+
+    def summary(self) -> str:
+        g = 1 << 30
+        return (
+            f"{self.n_gaussians / 1e6:.1f}M gaussians / {self.n_devices} chips"
+            f" (sh{self.sh_degree}, {self.width}x{self.height}): "
+            f"{self.local_capacity / 1e6:.2f}M per chip — params "
+            f"{self.params_bytes / g:.2f} GiB, opt {self.optimizer_bytes / g:.2f}"
+            f" GiB, exchange {self.exchange_bytes / g:.2f} GiB (send_cap "
+            f"{self.send_cap}), raster {self.raster_bytes / g:.2f} GiB, "
+            f"image {self.image_bytes / g:.2f} GiB -> total "
+            f"{self.total_bytes / g:.2f} GiB"
+        )
+
+
+def plan_gauss_sharded(
+    n_gaussians: int,
+    n_devices: int,
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    cfg: Optional[RasterConfig] = None,
+    send_fraction: float = 0.5,
+    with_optimizer: bool = True,
+) -> CapacityPlan:
+    """Closed-form per-chip byte budget for gauss-sharded training.
+
+    send_fraction bounds the share of a chip's LOCAL gaussians that can land
+    in ONE destination strip (pack_by_strip drops beyond send_cap and counts
+    overflow); 0.5 is generous for scenes without pathological vertical
+    concentration — the measured benchmark scenes stay under 0.35.
+    """
+    cfg = cfg or RasterConfig()
+    k = num_sh_coeffs(sh_degree)
+    local = -(-n_gaussians // n_devices)
+    # Round to the 128-lane tiling the arrays get on TPU anyway.
+    local = -(-local // 128) * 128
+
+    per_gauss_ch = _BASE_CH + 3 * k          # + flat SH (3K channels)
+    params = local * (per_gauss_ch * 4 + 1)  # f32 channels + alive byte
+    optimizer = 2 * local * per_gauss_ch * 4 if with_optimizer else 0
+
+    send_cap = -(-int(local * send_fraction) // 128) * 128
+    # send + recv buffers: (n_strips, send_cap, PAYLOAD_DIM) f32 each.
+    exchange = 2 * n_devices * send_cap * _PAYLOAD_CH * 4
+
+    # Per-strip binning + raster streams (gauss_shard.render_gauss_sharded_
+    # strip): arrivals n_strips*send_cap rows -> pair capacity, sorted keys /
+    # pos / ranks i32, packed payload 8 lanes f32 fwd + bwd grads.
+    arrivals = n_devices * send_cap
+    pair_cap = cfg.pair_capacity(arrivals) // n_devices
+    raster = (
+        arrivals * _PAYLOAD_CH * 4          # decoded arrival payload
+        + pair_cap * (4 * 4)                # keys, pos, ranks, tiles i32
+        + pair_cap * 8 * 4 * 2              # packed payload + grad streams
+    )
+
+    # Strip image, transmittance, cotangents + the replicated full target.
+    strip_rows = -(-height // (n_devices * cfg.tile_size)) * cfg.tile_size
+    image = (strip_rows * width * (3 + 1 + 4) + height * width * 3) * 4
+
+    total = params + optimizer + exchange + raster + image
+    return CapacityPlan(
+        n_gaussians=n_gaussians,
+        n_devices=n_devices,
+        sh_degree=sh_degree,
+        width=width,
+        height=height,
+        local_capacity=local,
+        send_cap=send_cap,
+        params_bytes=params,
+        optimizer_bytes=optimizer,
+        exchange_bytes=exchange,
+        raster_bytes=raster,
+        image_bytes=image,
+        total_bytes=total,
+    )
+
+
+def max_gaussians_per_chip(
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    hbm_bytes: int = 16 << 30,
+    cfg: Optional[RasterConfig] = None,
+    with_optimizer: bool = True,
+    slack: float = 1.35,
+) -> int:
+    """Largest single-chip N whose training step fits (bisection over the
+    same closed-form budget with n_devices=1)."""
+    lo, hi = 1 << 16, 1 << 28
+    while hi - lo > 1 << 16:
+        mid = (lo + hi) // 2
+        plan = plan_gauss_sharded(
+            mid, 1, width, height, sh_degree, cfg,
+            send_fraction=1.0, with_optimizer=with_optimizer,
+        )
+        if plan.fits(hbm_bytes, slack):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def min_devices_for(
+    n_gaussians: int,
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    hbm_bytes: int = 16 << 30,
+    cfg: Optional[RasterConfig] = None,
+    max_devices: int = 4096,
+) -> int:
+    """Smallest power-of-two gauss-mesh size whose per-chip step fits —
+    the config-5 (30M, city-scale) placement answer."""
+    d = 1
+    while d <= max_devices:
+        if plan_gauss_sharded(
+            n_gaussians, d, width, height, sh_degree, cfg
+        ).fits(hbm_bytes):
+            return d
+        d *= 2
+    raise ValueError(
+        f"{n_gaussians} gaussians do not fit on {max_devices} devices"
+    )
