@@ -44,6 +44,10 @@ CONFIGS = {
     "1080p1m": (1920, 1080, 1_000_000, 2.7),  # measured 2.44 pairs/gaussian
     "1080p3m": (1920, 1080, 3_000_000, 2.1),  # measured 1.79 (config-3 shape)
     "4k4m": (3840, 2160, 4_000_000, 2.9),     # BASELINE config 4
+    # Single-chip memory ceiling: parallel/capacity.py puts the largest
+    # trainable scene at ~8.19M gaussians on a 16 GiB chip at 1080p
+    # (max_gaussians_per_chip); this config demonstrates it end to end.
+    "1080p8m": (1920, 1080, 8_000_000, 1.8),
 }
 
 ap = argparse.ArgumentParser()

@@ -20,10 +20,14 @@ point of the CPU run is exercising the real collectives, not the numbers.)
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_fn(f, *args, warmup=2, iters=5):
