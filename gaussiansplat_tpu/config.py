@@ -123,6 +123,15 @@ class TrainConfig:
     densify_end: int = 15_000
     densify_every: int = 100
     densify_grad_thresh: float = 2e-4     # mean 2D position-grad norm
+    # When set, each densify pass derives its own grad threshold from the
+    # CURRENT avg-grad distribution: the top `fraction` of eligible (alive,
+    # visible this window) gaussians clone/split. The absolute
+    # densify_grad_thresh is ignored. Robust where the absolute knob is
+    # fragile — the natural units of the 2D position grad depend on loss
+    # normalization and render resolution, so a threshold tuned on one
+    # scene/scale silently disables density control on another (budget-
+    # targeted control, cf. the strategy variants in gsplat's docs).
+    densify_target_fraction: Optional[float] = None
     densify_scale_thresh: float = 0.01    # x scene extent: clone below, split above
     split_factor: float = 1.6
     prune_opacity: float = 0.005

@@ -225,6 +225,7 @@ def benchmark_scene(
     impl: Optional[str] = None,
     render_batch: bool = True,
     gt_renderer: str = "oracle",
+    gt_images=None,
 ) -> Tuple[Scene, GaussianModel]:
     """Build the bundled benchmark: GT model + rendered GT views + a sparse
     noisy init (SfM stand-in). Returns (scene, gt_model).
@@ -234,7 +235,12 @@ def benchmark_scene(
     (`ops.render_oracle_full`), which shares no binning/tiling/kernel code
     with the rasterizer under test — so the reported PSNR cannot hide a
     systematic renderer bias (VERDICT r2 missing item 2); "tiled" uses the
-    production rasterizer (faster, but circular — tests only)."""
+    production rasterizer (faster, but circular — tests only).
+
+    gt_images, when given, is a (train_stack, test_stack) pair of
+    pre-rendered GT image arrays (e.g. a disk cache from an earlier run with
+    identical scene parameters — the caller owns that invariant); GT
+    rendering is skipped entirely."""
     from ..ops.oracle import render_oracle_full
     from ..ops.projection import project_gaussians
     from ..render import render
@@ -265,12 +271,17 @@ def benchmark_scene(
     else:
         raise ValueError(f"unknown gt_renderer {gt_renderer!r}")
 
-    def views(count, offset):
+    def views(count, offset, imgs=None):
         cams = hemisphere_cameras(count, width, height, offset=offset)
+        if imgs is not None:
+            assert len(imgs) == count, "GT cache view count mismatch"
+            return [(cam, jnp.asarray(im, jnp.float32))
+                    for cam, im in zip(cams, imgs)]
         return [(cam, gt_render(cam)) for cam in cams]
 
-    train = views(n_train, 0.0)
-    test = views(n_test, 0.41)
+    gt_train, gt_test = gt_images if gt_images is not None else (None, None)
+    train = views(n_train, 0.0, gt_train)
+    test = views(n_test, 0.41, gt_test)
 
     # SfM stand-in: a sparse noisy gray-ish subsample of the surfaces.
     rng = np.random.default_rng(seed + 1)

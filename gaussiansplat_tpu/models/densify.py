@@ -96,7 +96,21 @@ def densify_step(
     drawn from their own distribution with scales / split_factor.
     """
     avg_grad = state.grad2d_sum / jnp.maximum(state.grad2d_count, 1)
-    high_grad = (avg_grad > cfg.densify_grad_thresh) & (state.grad2d_count > 0)
+    eligible = (state.grad2d_count > 0) & model.alive
+    if cfg.densify_target_fraction is None:
+        high_grad = (avg_grad > cfg.densify_grad_thresh) & eligible
+    else:
+        # Budget-targeted control: threshold at the (1 - fraction) quantile
+        # of the CURRENT eligible avg-grad distribution, so each pass
+        # densifies the top `fraction` regardless of the grads' absolute
+        # scale (which depends on loss normalization and resolution; see
+        # config.densify_target_fraction). Ties select a few extra — fine.
+        vals = jnp.sort(jnp.where(eligible, avg_grad, -jnp.inf))
+        m = jnp.sum(eligible.astype(jnp.int32))
+        k = jnp.maximum(cfg.densify_target_fraction * m.astype(jnp.float32),
+                        1.0).astype(jnp.int32)
+        thresh = vals[jnp.clip(model.capacity - k, 0, model.capacity - 1)]
+        high_grad = (avg_grad >= thresh) & (m > 0) & eligible
     max_scale = jnp.exp(jnp.max(model.log_scales, axis=-1))
     small = max_scale <= cfg.densify_scale_thresh * scene_extent
     clone_mask = high_grad & small & model.alive

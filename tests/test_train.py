@@ -97,6 +97,37 @@ class TestDensify:
         np.testing.assert_allclose(after, before - np.log(cfg.split_factor),
                                    atol=1e-5)
 
+    def test_target_fraction_selects_top_quantile(self):
+        # 32 alive with distinct grads 1..32; fraction 0.25 -> exactly the
+        # top 8 clone, regardless of the grads' absolute scale (the absolute
+        # densify_grad_thresh is ignored: set impossibly high to prove it).
+        model = self._model()
+        cfg = TrainConfig(densify_grad_thresh=1e9, densify_scale_thresh=1e9,
+                          densify_target_fraction=0.25)
+        grads = jnp.where(
+            model.alive, 1e-6 * (jnp.arange(model.capacity) + 1.0), 0.0
+        )
+        state = DensifyState.zeros(model.capacity).replace(
+            grad2d_sum=grads,
+            grad2d_count=model.alive.astype(jnp.int32),
+        )
+        fn = jax.jit(lambda m, s, k: densify_step(m, s, k, cfg, jnp.float32(1.0)))
+        new_model, _, info = fn(model, state, jax.random.PRNGKey(1))
+        assert int(info["cloned"]) == 8
+        assert int(new_model.num_alive) == 40
+
+    def test_target_fraction_no_eligible(self):
+        # Nothing visible this window -> no clones, no splits, no NaN thresh.
+        model = self._model()
+        cfg = TrainConfig(densify_target_fraction=0.25,
+                          densify_scale_thresh=1e9)
+        state = DensifyState.zeros(model.capacity)
+        fn = jax.jit(lambda m, s, k: densify_step(m, s, k, cfg, jnp.float32(1.0)))
+        new_model, _, info = fn(model, state, jax.random.PRNGKey(1))
+        assert int(info["cloned"]) == 0
+        assert int(info["split"]) == 0
+        assert int(new_model.num_alive) == 32
+
     def test_capacity_saturation_drops(self):
         model = self._model(n=32, cap=40)  # only 8 free slots
         cfg = TrainConfig(densify_grad_thresh=0.0, densify_scale_thresh=1e9)
