@@ -41,13 +41,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # plus ~10-15% headroom; the overflow validity bit below catches a budget
 # ever going stale.
 CONFIGS = {
-    "1080p1m": (1920, 1080, 1_000_000, 2.7),  # measured 2.44 pairs/gaussian
-    "1080p3m": (1920, 1080, 3_000_000, 2.1),  # measured 1.79 (config-3 shape)
-    "4k4m": (3840, 2160, 4_000_000, 2.9),     # BASELINE config 4
+    "1080p1m": (1920, 1080, 1_000_000, 2.6),  # measured 2.44 pairs/gaussian
+    "1080p3m": (1920, 1080, 3_000_000, 1.9),  # measured 1.79 (config-3 shape)
+    "4k4m": (3840, 2160, 4_000_000, 2.6),     # measured 2.44 (r3 artifact)
     # Single-chip memory ceiling: parallel/capacity.py puts the largest
     # trainable scene at ~8.19M gaussians on a 16 GiB chip at 1080p
     # (max_gaussians_per_chip); this config demonstrates it end to end.
-    "1080p8m": (1920, 1080, 8_000_000, 1.8),
+    "1080p8m": (1920, 1080, 8_000_000, 1.6),  # measured 1.50
 }
 
 ap = argparse.ArgumentParser()
@@ -55,6 +55,8 @@ ap.add_argument("--config", choices=sorted(CONFIGS), default="1080p1m")
 ap.add_argument("--out", default=None,
                 help="also write the full validity-stamped record (timings, "
                      "overflow, max chunk count) to this JSON file")
+ap.add_argument("--no-stages", action="store_true",
+                help="skip the per-stage roofline breakdown (headline only)")
 ARGS, _ = ap.parse_known_args()
 
 _W, _H, _N, _PPG = CONFIGS[ARGS.config]
@@ -62,9 +64,207 @@ WIDTH = int(os.environ.get("GSPLAT_BENCH_WIDTH", _W))
 HEIGHT = int(os.environ.get("GSPLAT_BENCH_HEIGHT", _H))
 N_GAUSSIANS = int(os.environ.get("GSPLAT_BENCH_N", _N))
 PAIRS_BUDGET = float(os.environ.get("GSPLAT_BENCH_PAIRS", _PPG))
+CHUNK_SIZE = int(os.environ.get("GSPLAT_BENCH_CHUNK", 128))
 SH_DEGREE = 3
 WARMUP = 3
 ITERS = 10
+
+
+def effective_config_name() -> str:
+    """Provenance for artifacts: the name of the named config the EFFECTIVE
+    shape matches, else 'custom' — never the --config default when env
+    overrides changed the shape (the r3 8M artifact recorded '1080p1m')."""
+    for name, (w, h, n, _) in CONFIGS.items():
+        if (w, h, n) == (WIDTH, HEIGHT, N_GAUSSIANS):
+            return name
+    return "custom"
+
+
+# v5e peaks (BASELINE north star hardware); override for other chips.
+PEAK_FLOPS = float(os.environ.get("GSPLAT_PEAK_TFLOPS", 197.0)) * 1e12
+PEAK_HBM = float(os.environ.get("GSPLAT_PEAK_HBM_GBS", 819.0)) * 1e9
+
+
+def _roofline(name, t_ms, hbm_bytes, mxu_flops, note=""):
+    """One stage's speed-of-light accounting: analytic HBM bytes and MXU
+    FLOPs vs measured time. min_ms is the max of the two resource floors;
+    pct_sol = how close the stage runs to its own speed of light. Stages
+    whose cost is sort-network passes (bin) carry a 'sort' note: their
+    single-pass byte model is a true lower bound but loose — compare their
+    ns/lane-row against benchmarks/micro_sortgather.py floors instead."""
+    min_hbm_ms = hbm_bytes / PEAK_HBM * 1e3
+    min_mxu_ms = mxu_flops / PEAK_FLOPS * 1e3
+    min_ms = max(min_hbm_ms, min_mxu_ms)
+    return dict(
+        ms=round(t_ms, 3),
+        hbm_gb=round(hbm_bytes / 1e9, 4),
+        mxu_gflop=round(mxu_flops / 1e9, 2),
+        min_ms_hbm=round(min_hbm_ms, 3),
+        min_ms_mxu=round(min_mxu_ms, 3),
+        pct_sol=round(100.0 * min_ms / t_ms, 1) if t_ms > 0 else 0.0,
+        bound=("mxu" if min_mxu_ms > min_hbm_ms else "hbm"),
+        note=note,
+    )
+
+
+def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
+    """Isolated per-stage timings + roofline accounting (pallas packed path).
+
+    Derived stages: kernel_fwd = raster_fwd_total - gather; kernel_bwd =
+    raster_bwd_total - grad_reduce. `sum_parts_ms` vs the measured step time
+    bounds what the decomposition leaves unexplained (jit fusion across
+    stage boundaries makes the parts slightly different programs than the
+    fused step, so a few percent of slack is expected)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gaussiansplat_tpu.ops.binning import (
+        bin_gaussians, reduce_pair_grads_packed_t)
+    from gaussiansplat_tpu.ops.pallas.common import pack_payload_t
+    from gaussiansplat_tpu.ops.pallas.segreduce import SEG_C
+    from gaussiansplat_tpu.ops.projection import make_payload, project_gaussians
+    from gaussiansplat_tpu.ops.raster_dispatch import rasterize_payload
+    from gaussiansplat_tpu.train.loss import photometric_loss
+
+    n = model.means.shape[0]
+    w, h = camera.width, camera.height
+    ts, cs = cfg.tile_size, cfg.chunk_size
+    px = ts * ts
+    nout = 8
+    tiles_x, tiles_y = -(-w // ts), -(-h // ts)
+    t_tiles = tiles_x * tiles_y
+    cap = cfg.pair_capacity(n)
+    sh_bytes = model.sh.shape[1] * model.sh.shape[2] * 4
+
+    project = jax.jit(lambda m: project_gaussians(
+        m.means, m.quats, m.log_scales, m.logit_opacities, m.sh, camera, cfg,
+        sh_degree=SH_DEGREE, alive=m.alive))
+    proj = jax.block_until_ready(project(model))
+    binjit = jax.jit(
+        lambda p: bin_gaussians(p, w, h, cfg, impl="pallas"))
+    b = jax.block_until_ready(binjit(proj))
+    payload = jax.block_until_ready(jax.jit(make_payload)(proj))
+
+    gather8 = jax.jit(
+        lambda p, dor, sr: pack_payload_t(p[dor])[:, sr])
+    jax.block_until_ready(gather8(payload, b.depth_order, b.sorted_ranks))
+
+    rast_fwd = jax.jit(lambda p, bb: rasterize_payload(
+        p, bb, bg, w, h, cfg, "pallas").image)
+    img0 = jax.block_until_ready(rast_fwd(payload, b))
+    dimg = jax.random.normal(jax.random.PRNGKey(3), img0.shape) * 1e-3
+
+    @jax.jit
+    def rast_bwd(p, bb, di):
+        out, vjp = jax.vjp(
+            lambda pp: rasterize_payload(pp, bb, bg, w, h, cfg, "pallas").image,
+            p)
+        return vjp(di)[0]
+
+    dpay = jax.block_until_ready(rast_bwd(payload, b, dimg))
+
+    d8 = jax.random.normal(jax.random.PRNGKey(4), (8, cap), jnp.float32)
+    reduce = jax.jit(lambda d, bb: reduce_pair_grads_packed_t(
+        d, bb.sorted_ranks, bb.depth_order, bb.sorted_pos, bb.seg_offsets,
+        bb.num_pairs))
+    jax.block_until_ready(reduce(d8, b))
+
+    @jax.jit
+    def proj_vjp(prms, dp):
+        def f(p):
+            m = model.with_params(p)
+            pr = project_gaussians(
+                m.means, m.quats, m.log_scales, m.logit_opacities, m.sh,
+                camera, cfg, sh_degree=SH_DEGREE, alive=m.alive)
+            return jnp.vdot(make_payload(pr), dp)
+        return jax.grad(f)(prms)
+
+    jax.block_until_ready(proj_vjp(params, dpay))
+
+    loss_grad = jax.jit(lambda im: jax.value_and_grad(
+        lambda x: photometric_loss(x, target, 0.2))(im))
+    jax.block_until_ready(loss_grad(img0))
+
+    t_project = timeit(project, model)
+    t_bin = timeit(binjit, proj)
+    t_gather = timeit(gather8, payload, b.depth_order, b.sorted_ranks)
+    t_rfwd = timeit(rast_fwd, payload, b)
+    t_rbwd = timeit(rast_bwd, payload, b, dimg)
+    t_reduce = timeit(reduce, d8, b)
+    t_pvjp = timeit(proj_vjp, params, dpay)
+    t_loss = timeit(loss_grad, img0)
+
+    # Exact chunk count from the segment offsets (aligned-window model the
+    # kernels use; early exit makes this an upper bound for live compute).
+    starts = np.asarray(b.tile_starts)
+    base = (starts[:-1] // cs) * cs
+    n_chunks = int(np.sum((starts[1:] - base + cs - 1) // cs))
+
+    pass_row = 2.0 * px * 128 * cs   # eff-FLOPs of one M=PX bf16 MXU pass
+    fwd_passes = 3 + 2 + 2           # q, tri, acc
+    bwd_passes = 3 + 2 + 2 + 2      # q, tri, dw, tri_suffix (M=PX only)
+    kfwd_flops = n_chunks * fwd_passes * pass_row
+    kbwd_flops = n_chunks * bwd_passes * pass_row
+    kfwd_bytes = n_chunks * cs * 8 * 4 + t_tiles * nout * px * 4
+    kbwd_bytes = (2 * n_chunks * cs * 8 * 4 + 2 * t_tiles * nout * px * 4
+                  + t_tiles * nout * px * 4)
+
+    t_kfwd = max(t_rfwd - t_gather, 1e-9)
+    t_kbwd = max(t_rbwd - t_reduce, 1e-9)
+
+    img_b = w * h * 3 * 4
+    stages = {
+        "project": _roofline(
+            "project", t_project * 1e3,
+            n * ((11 + sh_bytes // 4) * 4 + 21 * 4), n * 600.0),
+        "bin_sort": _roofline(
+            "bin_sort", t_bin * 1e3,
+            (5 * n + 3 * cap + 2 * cap) * 4 * 2, 0.0,
+            note="sort-network bound; single-pass byte model is loose"),
+        "gather_pack": _roofline(
+            "gather_pack", t_gather * 1e3,
+            n * (16 + 8) * 4 + 2 * cap * 8 * 4, 0.0,
+            note="random-access P-gather; ~7ns/idx primitive floor"),
+        "kernel_fwd": _roofline("kernel_fwd", t_kfwd * 1e3,
+                                kfwd_bytes, kfwd_flops,
+                                note="eff-FLOPs: MXU pass model"),
+        "kernel_bwd": _roofline("kernel_bwd", t_kbwd * 1e3,
+                                kbwd_bytes, kbwd_flops,
+                                note="eff-FLOPs: MXU pass model"),
+        "grad_reduce": _roofline(
+            "grad_reduce", t_reduce * 1e3,
+            (9 * cap) * 4 * 2 + cap * 8 * 4 + n * 16 * 4 + 2 * n * 16 * 4,
+            0.0, note="9-lane un-permute sort + MXU segreduce + rank gather"),
+        "proj_vjp": _roofline(
+            "proj_vjp", t_pvjp * 1e3,
+            n * ((11 + sh_bytes // 4) * 4 * 2 + 16 * 4), n * 900.0),
+        "loss_fwd_bwd": _roofline(
+            "loss_fwd_bwd", t_loss * 1e3,
+            img_b * 12, w * h * 3 * 11 * 2 * 5 * 2 * 2.0,
+            note="L1 + banded-Toeplitz SSIM, fwd+grad"),
+    }
+    sum_parts = (t_project + t_bin + t_gather + t_rfwd + t_rbwd + t_reduce
+                 + t_pvjp + t_loss)
+    stages["_meta"] = dict(
+        n_chunks=n_chunks,
+        sum_parts_ms=round(sum_parts * 1e3, 2),
+        step_ms=round(t_step * 1e3, 2),
+        unexplained_ms=round((t_step - sum_parts) * 1e3, 2),
+        peak_tflops=PEAK_FLOPS / 1e12,
+        peak_hbm_gbs=PEAK_HBM / 1e9,
+    )
+    hdr = f"[bench] stages (n_chunks={n_chunks}):\n"
+    for k, v in stages.items():
+        if k == "_meta":
+            continue
+        hdr += (f"  {k:>13}: {v['ms']:8.2f} ms  sol={v['pct_sol']:5.1f}% "
+                f"({v['bound']}, hbm_min={v['min_ms_hbm']:.2f} "
+                f"mxu_min={v['min_ms_mxu']:.2f})\n")
+    hdr += (f"  sum(parts)={sum_parts*1e3:.1f} ms vs step={t_step*1e3:.1f} ms"
+            f" (fwd total={stages['kernel_fwd']['ms']:.1f}+"
+            f"{stages['gather_pack']['ms']:.1f})\n")
+    sys.stderr.write(hdr)
+    return stages
 
 
 def main():
@@ -75,7 +275,7 @@ def main():
     from gaussiansplat_tpu.train.loss import photometric_loss
 
     backend = jax.default_backend()
-    cfg = RasterConfig(pairs_per_gaussian=PAIRS_BUDGET)
+    cfg = RasterConfig(pairs_per_gaussian=PAIRS_BUDGET, chunk_size=CHUNK_SIZE)
 
     # Scene scaled so splats land at realistic sizes (~1-3 tiles each) at
     # ANY config: focal scales with width (same framing), world gaussian
@@ -153,6 +353,30 @@ def main():
     t_fwd = timeit(fwd, params)
     t_step = timeit(fwd_bwd, params)
 
+    # Measured HBM watermark (validates parallel/capacity.py's closed-form
+    # budget against the real allocator; VERDICT r3 item 4).
+    hbm_peak = None
+    try:
+        ms = jax.devices()[0].memory_stats()
+        if ms:
+            hbm_peak = int(ms.get("peak_bytes_in_use", 0)) or None
+    except Exception:
+        pass
+
+    # ---- per-stage speed-of-light accounting (VERDICT r3 item 2) --------
+    # Analytic HBM bytes + MXU FLOPs per pipeline stage from the static
+    # stream sizes, vs measured stage time. Effective FLOPs use the MXU
+    # PASS model (a (M,K)@(K,N) bf16 pass costs M*ceil(K/128)*ceil(N/128)
+    # row-cycles regardless of K,N underfill), so pct_sol is honest for
+    # underfilled matmuls like the (PX,8)@(8,CS) quadratic form.
+    stages = None
+    if not ARGS.no_stages and impl == "pallas" and cfg.packed:
+        try:
+            stages = _measure_stages(
+                model, camera, cfg, target, bg, params, timeit, t_step)
+        except Exception as e:  # stage breakdown must never kill the bench
+            sys.stderr.write(f"[bench] stage breakdown failed: {e!r}\n")
+
     rays = WIDTH * HEIGHT
     value = rays / t_step
     baseline_path = os.path.join(
@@ -181,19 +405,27 @@ def main():
     }
     if n_overflow:  # make an invalid (work-dropping) run machine-detectable
         result["overflow"] = n_overflow
+    if stages is not None:
+        result["stages_pct_sol"] = {
+            k: v["pct_sol"] for k, v in stages.items() if k != "_meta"
+        }
     print(json.dumps(result))
 
     if ARGS.out:
         record = dict(
             result,
-            config=ARGS.config,
+            config=effective_config_name(),
             width=WIDTH, height=HEIGHT, n_gaussians=N_GAUSSIANS,
             sh_degree=SH_DEGREE, backend=backend, impl=impl,
+            chunk_size=CHUNK_SIZE,
             fwd_ms=t_fwd * 1e3, step_ms=t_step * 1e3,
             overflow=n_overflow, num_pairs=n_pairs,
             max_chunks_needed=max_chunks,
             pairs_per_gaussian_budget=cfg.pairs_per_gaussian,
+            hbm_peak_bytes=hbm_peak,
         )
+        if stages is not None:
+            record["stages"] = stages
         with open(ARGS.out, "w") as f:
             json.dump(record, f, indent=1)
             f.write("\n")

@@ -1,0 +1,122 @@
+"""Micro A/Bs for the backward gradient-plumbing stages (VERDICT r4 scale
+work): segreduce block-size sweep + un-permute lowering alternatives, at the
+config-3 shape (N=3M, P=6.3M) by default.
+
+The 1M/3M stage profiles (benchmarks/profile_binning_*_r4.json) put the
+un-permute 9-op sort + MXU segreduce + rank_of gather at ~55% of the
+backward plumbing; segreduce runs ~150x above its byte floor, so block
+sizing is the first knob to try.
+
+    python benchmarks/micro_segreduce.py --n 3000000 --ppg 2.1
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gsplat_tpu_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main():
+    from gaussiansplat_tpu.ops.pallas.segreduce import segment_reduce_pairs
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=3_000_000)
+    ap.add_argument("--ppg", type=float, default=2.1)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    n = args.n
+    p = int(n * args.ppg)
+    key = jax.random.PRNGKey(0)
+    # Realistic segment structure: ~ppg pairs per rank, uniform-ish.
+    bounds = jnp.sort(jax.random.randint(key, (n - 1,), 0, p))
+    seg_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), bounds.astype(jnp.int32),
+         jnp.full((1,), p, jnp.int32)])
+    d8 = jax.random.normal(jax.random.PRNGKey(1), (8, p), jnp.float32)
+    pos = jax.random.permutation(jax.random.PRNGKey(2),
+                                 jnp.arange(p, dtype=jnp.int32))
+
+    fetch = jax.jit(lambda o: jnp.sum(jnp.ravel(o)[:64].astype(jnp.float32)))
+
+    def timeit(f, *fargs):
+        for _ in range(2):
+            float(fetch(f(*fargs)))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = f(*fargs)
+        float(fetch(out))
+        return (time.perf_counter() - t0) / args.iters
+
+    print(f"backend={jax.default_backend()} n={n} p={p}")
+
+    # --- segreduce block-size sweep ---
+    ref = None
+    for seg_c, seg_g in [(512, 512), (1024, 512), (2048, 512),
+                         (512, 1024), (1024, 1024), (2048, 1024)]:
+        dpad = jnp.concatenate(
+            [d8, jnp.zeros((8, seg_c), jnp.float32)], axis=1)
+        f = jax.jit(lambda d, sc=seg_c, sg=seg_g: segment_reduce_pairs(
+            d, seg_offsets, n, packed=True, seg_c=sc, seg_g=sg))
+        out = jax.block_until_ready(f(dpad))
+        if ref is None:
+            ref = out
+        else:
+            err = float(jnp.max(jnp.abs(out - ref)))
+            assert err < 1e-5, (seg_c, seg_g, err)
+        t = timeit(f, dpad)
+        print(f"  segreduce C={seg_c:5d} G={seg_g:5d}: {t * 1e3:8.2f} ms")
+
+    # --- un-permute lowerings (grads sorted order -> pre-sort order) ---
+    sortcarry = jax.jit(lambda sp, d: jax.lax.sort(
+        (sp,) + tuple(d[i] for i in range(8)), num_keys=1)[1:])
+    t = timeit(sortcarry, pos, d8)
+    print(f"  unpermute sort-carry 9op      : {t * 1e3:8.2f} ms")
+
+    iota = jnp.arange(p, dtype=jnp.int32)
+    invsort = jax.jit(lambda sp: jax.lax.sort((sp, iota), num_keys=1)[1])
+    inv = jax.block_until_ready(invsort(pos))
+    t = timeit(invsort, pos)
+    print(f"  inverse-perm 2op sort         : {t * 1e3:8.2f} ms")
+
+    d_rows = jnp.asarray(d8.T)  # (P, 8) row-major
+    rowgather = jax.jit(lambda dr, ix: dr[ix])
+    t = timeit(rowgather, d_rows, inv)
+    print(f"  (P,8) row-major gather        : {t * 1e3:8.2f} ms")
+
+    rowgather_t = jax.jit(lambda dr, ix: dr[ix].T)
+    t = timeit(rowgather_t, d_rows, inv)
+    print(f"  (P,8) row gather + transpose  : {t * 1e3:8.2f} ms")
+
+    lanegather = jax.jit(lambda d, ix: d[:, ix])
+    t = timeit(lanegather, d8, inv)
+    print(f"  (8,P) lane-major gather       : {t * 1e3:8.2f} ms")
+
+    # rank_of application alternatives: (N,16) random gather vs 17-op sort
+    d16 = jax.random.normal(jax.random.PRNGKey(3), (n, 16), jnp.float32)
+    perm = jax.random.permutation(jax.random.PRNGKey(4),
+                                  jnp.arange(n, dtype=jnp.int32))
+    g16 = jax.jit(lambda d, ix: d[ix])
+    t = timeit(g16, d16, perm)
+    print(f"  (N,16) row gather             : {t * 1e3:8.2f} ms")
+    g8 = jax.jit(lambda d, ix: d[ix])
+    d8n = jax.random.normal(jax.random.PRNGKey(5), (n, 8), jnp.float32)
+    t = timeit(g8, d8n, perm)
+    print(f"  (N,8) row gather              : {t * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

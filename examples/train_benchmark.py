@@ -58,28 +58,46 @@ def main():
                          "the percentile form guarantees config-2-class "
                          "density (~20k -> ~200k over 30 passes at 0.08). "
                          "0 disables (use --densify-grad-thresh).")
+    ap.add_argument("--gt-sh-degree", type=int, default=3,
+                    help="SH degree of the GROUND-TRUTH gaussian set (3 = "
+                         "specular lobes exercise the deg-2/3 bands)")
     ap.add_argument("--gt-cache", default=None,
                     help="npz path for the rendered GT views: loaded if it "
-                         "exists (MUST match the scene parameters — the "
-                         "cache is keyed only by this path), else written "
+                         "exists AND its stored fingerprint matches the "
+                         "scene parameters (else re-rendered), written "
                          "after rendering. The oracle GT pass costs ~25 min "
                          "on the chip; the cache makes reruns free.")
     args = ap.parse_args()
 
     import numpy as np
 
+    # Cache provenance: a cache rendered with different scene parameters
+    # would silently corrupt the headline PSNR, so the npz stores the
+    # parameter fingerprint and a mismatch discards it.
+    fingerprint = json.dumps(dict(
+        size=args.size, n_points=args.n_points, init_points=args.init_points,
+        gt_renderer=args.gt_renderer, gt_sh_degree=args.gt_sh_degree,
+        seed=0, scene_version=2,   # v2: specular deg-2/3 lobes on sphere+torus
+    ), sort_keys=True)
     gt_images = None
     if args.gt_cache and os.path.exists(args.gt_cache):
         z = np.load(args.gt_cache)
-        gt_images = (z["train"], z["test"])
-        print(f"loaded GT cache {args.gt_cache} "
-              f"({len(z['train'])} train / {len(z['test'])} test)", flush=True)
+        stored = str(z["fingerprint"]) if "fingerprint" in z else "<none>"
+        if stored == fingerprint:
+            gt_images = (z["train"], z["test"])
+            print(f"loaded GT cache {args.gt_cache} "
+                  f"({len(z['train'])} train / {len(z['test'])} test)",
+                  flush=True)
+        else:
+            print(f"GT cache fingerprint mismatch, re-rendering:\n"
+                  f"  cache: {stored}\n  want:  {fingerprint}", flush=True)
 
     print(f"backend={jax.default_backend()}; building scene "
-          f"(gt={args.gt_renderer}) ...", flush=True)
-    scene, _ = benchmark_scene(
+          f"(gt={args.gt_renderer}, gt_sh={args.gt_sh_degree}) ...", flush=True)
+    scene, gt_model = benchmark_scene(
         n_points=args.n_points, width=args.size, height=args.size,
         init_points=args.init_points, capacity=args.capacity,
+        sh_degree=args.gt_sh_degree,
         impl=args.impl, gt_renderer=args.gt_renderer, gt_images=gt_images,
     )
     if args.gt_cache and gt_images is None:
@@ -91,6 +109,7 @@ def main():
                             for _, im in scene.train_views]),
             test=np.stack([np.asarray(im, np.float16)
                            for _, im in scene.test_views]),
+            fingerprint=np.str_(fingerprint),
         )
         print(f"wrote GT cache {args.gt_cache}", flush=True)
     print(f"scene '{scene.name}': {len(scene.train_views)} train / "
@@ -124,13 +143,32 @@ def main():
     eval_fn = make_eval_fn(rcfg, tcfg, args.impl)
     final = evaluate(eval_fn, model, scene.test_views, args.sh_degree)
     n = export_ply(os.path.join(args.out, "point_cloud.ply"), model)
+
+    # Per-band SH energy of the trained model: evidence the deg-2/3
+    # coefficients carry signal (GT specular lobes), not init noise.
+    def _band_rms(m, prefix):
+        alive = np.asarray(m.alive)
+        rest = np.asarray(m.sh_rest)[alive].reshape(int(alive.sum()), -1, 3)
+        out, i0 = {}, 0
+        for l in range(1, m.sh_degree + 1):
+            c = 2 * l + 1
+            out[f"{prefix}sh_band{l}_rms"] = float(
+                np.sqrt(np.mean(rest[:, i0:i0 + c, :] ** 2)))
+            i0 += c
+        return out
+
+    band_rms = _band_rms(model, "")
+    band_rms.update(_band_rms(gt_model, "gt_"))
+
     result = dict(
         scene=scene.name, iterations=args.iterations,
         resolution=f"{args.size}x{args.size}",
         gt_renderer=args.gt_renderer,
+        gt_sh_degree=args.gt_sh_degree,
         densify_grad_thresh=args.densify_grad_thresh,
         densify_target_fraction=args.densify_target_fraction,
-        final_gaussians=n, **final,
+        final_gaussians=n, **final, **band_rms,
+        sh_rest_init_rms=0.0,  # trainee sh_rest initializes to zero
     )
     with open(os.path.join(args.out, "result.json"), "w") as f:
         json.dump(result, f, indent=2)

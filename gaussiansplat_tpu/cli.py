@@ -58,6 +58,7 @@ def _load_scene(args):
         return nerf_synthetic_scene(
             args.scene, white_background=args.white_background,
             downscale=args.downscale, capacity=args.capacity or None,
+            n_init=args.n_init,
         )
     if os.path.isdir(os.path.join(args.scene, "sparse")):
         return colmap_scene(
@@ -186,6 +187,9 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic-size", type=int, default=256)
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--capacity", type=int, default=0)
+    p.add_argument("--n-init", type=int, default=100_000,
+                   help="random-init gaussian count for NeRF-synthetic "
+                        "scenes (COLMAP scenes init from SfM points)")
     p.add_argument("--seed", type=int, default=0)
 
 

@@ -100,17 +100,22 @@ def densify_step(
     if cfg.densify_target_fraction is None:
         high_grad = (avg_grad > cfg.densify_grad_thresh) & eligible
     else:
-        # Budget-targeted control: threshold at the (1 - fraction) quantile
-        # of the CURRENT eligible avg-grad distribution, so each pass
-        # densifies the top `fraction` regardless of the grads' absolute
-        # scale (which depends on loss normalization and resolution; see
-        # config.densify_target_fraction). Ties select a few extra — fine.
-        vals = jnp.sort(jnp.where(eligible, avg_grad, -jnp.inf))
+        # Budget-targeted control: select EXACTLY the top `fraction` of the
+        # CURRENT eligible avg-grad distribution by rank (ties broken by
+        # slot index), so each pass densifies a fixed budget regardless of
+        # the grads' absolute scale (which depends on loss normalization and
+        # resolution; see config.densify_target_fraction). A >= threshold
+        # compare would pass ALL tied values — fresh clones are exact copies
+        # that accumulate identical grads, so ties are common and made
+        # growth bursty, bounded only by dead-slot capacity.
         m = jnp.sum(eligible.astype(jnp.int32))
         k = jnp.maximum(cfg.densify_target_fraction * m.astype(jnp.float32),
                         1.0).astype(jnp.int32)
-        thresh = vals[jnp.clip(model.capacity - k, 0, model.capacity - 1)]
-        high_grad = (avg_grad >= thresh) & (m > 0) & eligible
+        order = jnp.argsort(
+            -jnp.where(eligible, avg_grad, -jnp.inf), stable=True)
+        rank = jnp.zeros((model.capacity,), jnp.int32).at[order].set(
+            jnp.arange(model.capacity, dtype=jnp.int32))
+        high_grad = (rank < k) & (m > 0) & eligible
     max_scale = jnp.exp(jnp.max(model.log_scales, axis=-1))
     small = max_scale <= cfg.densify_scale_thresh * scene_extent
     clone_mask = high_grad & small & model.alive

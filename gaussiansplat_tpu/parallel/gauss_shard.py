@@ -228,39 +228,54 @@ def make_gauss_sharded_render(
         )
     rows = tiles_y // nd
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(GAUSS_AXIS), P(), P(), P(GAUSS_AXIS)),
-        out_specs=(
-            P(GAUSS_AXIS, None, None),
-            P(GAUSS_AXIS, None),
-            P(GAUSS_AXIS),
-            P(),
-        ),
-        check_vma=False,
-    )
-    def _sharded(model, camera, background, mean2d_offset):
-        cap = send_cap
-        if cap is None:
-            cap = max(2 * model.capacity, 512)  # model.capacity is LOCAL here
-        img, trans, aux = render_gauss_sharded_strip(
-            model, camera, cfg, sh_degree, background, nd, rows, cap,
-            xla_max_chunks=xla_max_chunks, mean2d_offset=mean2d_offset,
-            impl=impl,
-        )
-        scalars = jnp.stack([
-            jax.lax.psum(aux["overflow"].astype(jnp.float32), GAUSS_AXIS),
-            jax.lax.pmax(
-                aux["max_chunks_needed"].astype(jnp.float32), GAUSS_AXIS
+    @functools.lru_cache(maxsize=None)
+    def _make_sharded(cap: int):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(GAUSS_AXIS), P(), P(), P(GAUSS_AXIS)),
+            out_specs=(
+                P(GAUSS_AXIS, None, None),
+                P(GAUSS_AXIS, None),
+                P(GAUSS_AXIS),
+                P(),
             ),
-        ])
-        return img, trans, aux["radii"], scalars
+            check_vma=False,
+        )
+        def _sharded(model, camera, background, mean2d_offset):
+            img, trans, aux = render_gauss_sharded_strip(
+                model, camera, cfg, sh_degree, background, nd, rows, cap,
+                xla_max_chunks=xla_max_chunks, mean2d_offset=mean2d_offset,
+                impl=impl,
+            )
+            scalars = jnp.stack([
+                jax.lax.psum(aux["overflow"].astype(jnp.float32), GAUSS_AXIS),
+                jax.lax.pmax(
+                    aux["max_chunks_needed"].astype(jnp.float32), GAUSS_AXIS
+                ),
+            ])
+            return img, trans, aux["radii"], scalars
+
+        return _sharded
+
+    def resolve_send_cap(global_capacity: int) -> int:
+        if send_cap is not None:
+            return send_cap
+        # Plan-driven default (VERDICT r3 item 4): send_fraction * local
+        # from the closed-form HBM budget — NOT 2 * local, whose exchange
+        # buffers (2 * nd * 2 * local * 64B = 256B per GLOBAL gaussian per
+        # chip) would OOM before the parameters at config-5 scale.
+        from .capacity import plan_gauss_sharded
+
+        return plan_gauss_sharded(
+            global_capacity, nd, width, height, sh_degree, cfg
+        ).send_cap
 
     def f(model, camera, background, mean2d_offset=None, with_aux: bool = False):
         if mean2d_offset is None:
             mean2d_offset = jnp.zeros((model.capacity, 2), jnp.float32)
-        img, trans, radii, scalars = _sharded(
+        sharded = _make_sharded(resolve_send_cap(model.capacity))
+        img, trans, radii, scalars = sharded(
             model, camera, background, mean2d_offset
         )
         if not with_aux:

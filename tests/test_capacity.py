@@ -74,3 +74,39 @@ class TestCapacityPlan:
             1_000_000, 8, 1920, 1080,
             cfg=RasterConfig(pairs_per_gaussian=4.0))
         assert roomy.raster_bytes > tight.raster_bytes
+
+
+class TestWeakScalingPredictor:
+    """Compute-vs-ICI predictive model (parallel/capacity.py): the virtual
+    CPU mesh cannot measure scaling (its devices share host cores), so the
+    north star's >= 80% weak-scaling criterion is backed by this byte-level
+    model calibrated from the measured single-chip step."""
+
+    def test_comm_volume_matches_plan(self):
+        from gaussiansplat_tpu.parallel.capacity import (
+            ici_bytes_per_step, plan_gauss_sharded)
+
+        plan = plan_gauss_sharded(30_000_000, 8, 1920, 1088)
+        # fwd + bwd reverse all_to_all, off-diagonal slices only.
+        expected = 2 * 7 * plan.send_cap * 16 * 4
+        assert ici_bytes_per_step(plan) == expected
+
+    def test_config5_predicts_above_criterion(self):
+        from gaussiansplat_tpu.parallel.capacity import predicted_weak_scaling
+
+        rows = predicted_weak_scaling(
+            3_750_000, 1920, 1088, device_counts=[1, 2, 4, 8, 16])
+        effs = [r["predicted_efficiency"] for r in rows]
+        assert effs[0] == 1.0
+        # monotone non-increasing in device count, still >= 0.8 at 16 chips
+        assert all(a >= b for a, b in zip(effs, effs[1:]))
+        assert effs[-1] >= 0.8
+
+    def test_efficiency_degrades_with_slow_ici(self):
+        from gaussiansplat_tpu.parallel.capacity import predicted_weak_scaling
+
+        fast = predicted_weak_scaling(
+            3_750_000, 1920, 1088, device_counts=[8], ici_gbps=100.0)
+        slow = predicted_weak_scaling(
+            3_750_000, 1920, 1088, device_counts=[8], ici_gbps=1.0)
+        assert slow[0]["predicted_efficiency"] < fast[0]["predicted_efficiency"]

@@ -257,3 +257,87 @@ class TestBenchmarkScene:
         # normal axis (z) ~6x thinner than the tangent axes
         np.testing.assert_allclose(ls[:, 0], ls[:, 1], atol=1e-5)
         assert ((ls[:, 0] - ls[:, 2]) > np.log(5.5)).all()
+
+
+class TestNerfSynthetic:
+    """Blender transforms_{split}.json loader (`data/datasets.py`): camera
+    convention (OpenGL c2w -> +z-forward w2c), FOV->focal, RGBA alpha
+    compositing — the format BASELINE config 2 names, reachable from
+    `cli train <dir>`."""
+
+    def _write_scene(self, root, n_frames=2, size=16, fovx=np.pi / 2):
+        from PIL import Image
+
+        os.makedirs(root / "train", exist_ok=True)
+        frames = []
+        for i in range(n_frames):
+            # camera at z=+4 looking toward origin along OpenGL -z:
+            # identity rotation, translation (0, 0, 4).
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[2, 3] = 4.0 + i
+            rgba = np.zeros((size, size, 4), np.uint8)
+            rgba[:, : size // 2] = [200, 100, 50, 255]   # left: opaque color
+            rgba[:, size // 2:] = [255, 255, 255, 0]     # right: transparent
+            Image.fromarray(rgba).save(root / "train" / f"r_{i}.png")
+            frames.append({
+                "file_path": f"train/r_{i}",
+                "transform_matrix": c2w.tolist(),
+            })
+        with open(root / "transforms_train.json", "w") as f:
+            json.dump({"camera_angle_x": float(fovx), "frames": frames}, f)
+
+    def test_loader_convention_and_alpha(self, tmp_path):
+        from gaussiansplat_tpu.data.datasets import load_nerf_synthetic
+
+        self._write_scene(tmp_path, size=16)
+        views = load_nerf_synthetic(str(tmp_path), "train")
+        assert len(views) == 2
+        cam, img = views[0]
+        assert (cam.width, cam.height) == (16, 16)
+        # fovx = 90 deg -> fx = (w/2) / tan(45 deg) = w/2
+        np.testing.assert_allclose(float(cam.fx), 8.0, rtol=1e-6)
+        # OpenGL c2w (identity R, eye at +4z) -> w2c with +z forward:
+        # R = diag(1, -1, -1), t = -R @ eye = (0, 0, 4)
+        np.testing.assert_allclose(
+            np.asarray(cam.R), np.diag([1.0, -1.0, -1.0]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(cam.t), [0.0, 0.0, 4.0], atol=1e-6)
+        # a world point at the origin sits 4 units in FRONT of the camera
+        pcam = np.asarray(cam.R) @ np.zeros(3) + np.asarray(cam.t)
+        assert pcam[2] > 0
+        a = np.asarray(img)
+        assert a.shape == (16, 16, 3)
+        # alpha=0 composites to black background by default...
+        np.testing.assert_allclose(a[:, -1], 0.0, atol=1e-6)
+        np.testing.assert_allclose(
+            a[:, 0],
+            np.broadcast_to([200 / 255, 100 / 255, 50 / 255], (16, 3)),
+            atol=1e-6)
+        # ...and to white with white_background=True
+        wviews = load_nerf_synthetic(str(tmp_path), "train",
+                                     white_background=True)
+        np.testing.assert_allclose(np.asarray(wviews[0][1])[:, -1], 1.0,
+                                   atol=1e-6)
+
+    def test_scene_fallback_and_init(self, tmp_path):
+        from gaussiansplat_tpu.data.datasets import nerf_synthetic_scene
+
+        self._write_scene(tmp_path)
+        scene = nerf_synthetic_scene(str(tmp_path), n_init=64, capacity=128)
+        # no transforms_test.json -> falls back to train[:2]
+        assert len(scene.test_views) == 2
+        assert int(scene.init_model.num_alive) == 64
+        assert scene.init_model.capacity == 128
+
+    def test_cli_train_smoke(self, tmp_path):
+        from gaussiansplat_tpu.cli import main
+
+        self._write_scene(tmp_path, size=32)
+        out = str(tmp_path / "run")
+        rc = main([
+            "train", "--scene", str(tmp_path), "--n-init", "64",
+            "--capacity", "256", "--iterations", "2", "--sh-degree", "1",
+            "--impl", "xla", "--out", out, "--eval-views", "1",
+        ])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out, "point_cloud.ply"))

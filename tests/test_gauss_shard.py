@@ -218,5 +218,9 @@ class TestGaussShardPallas:
             mesh, cfg, cam.width, cam.height, 1, impl="pallas_interpret"))
         img, trans = f(smodel, cam, bg)
         ref = render(model, cam, cfg, sh_degree=1, background=bg, impl="xla")
-        np.testing.assert_allclose(img, ref.image, atol=1e-4)
-        np.testing.assert_allclose(trans, ref.transmittance, atol=1e-4)
+        # Bulk-tight + alpha-gate flip budget: the XLA twin computes q in
+        # factored form, the kernels in expanded-polynomial form (imgcheck).
+        from imgcheck import assert_images_close
+
+        assert_images_close(img, ref.image, atol=1e-4)
+        assert_images_close(trans, ref.transmittance, atol=1e-4)
