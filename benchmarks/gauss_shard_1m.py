@@ -61,7 +61,10 @@ def main():
     cfg = RasterConfig(pairs_per_gaussian=3.0, impl="xla")
     model = random_model(jax.random.PRNGKey(0), n, sh_degree=1, extent=1.0,
                          opacity=0.8, scale_range=(0.004 * k, 0.012 * k))
-    cam = look_at(eye=(0.0, 0.0, -4.0), target=(0, 0, 0), fx=700.0, fy=700.0,
+    # fx sized so the unit-extent scene fills the frame (spread 2*fx/z_eye):
+    # strips then load roughly evenly, like a real captured scene.
+    fx = size * 4.0 / 2.05
+    cam = look_at(eye=(0.0, 0.0, -4.0), target=(0, 0, 0), fx=fx, fy=fx,
                   width=size, height=size)
     bg = jnp.zeros((3,), jnp.float32)
 
@@ -77,9 +80,11 @@ def main():
     t0 = time.time()
     img_s, _, aux = jax.block_until_ready(
         srender(smodel, cam, bg, with_aux=True))
+    pack_of = int(aux["pack_overflow"])
+    bin_of = int(aux["overflow"]) - pack_of
     print(f"sharded render: {time.time() - t0:.1f}s "
-          f"(send_cap={plan.send_cap}, overflow={int(aux['overflow'])})",
-          flush=True)
+          f"(send_cap={plan.send_cap}, pack_overflow={pack_of}, "
+          f"bin_overflow={bin_of})", flush=True)
 
     img_r = jax.block_until_ready(
         render(model, cam, cfg, sh_degree=1, background=bg, impl="xla").image)
@@ -108,7 +113,10 @@ def main():
     for r in table:
         print("  ", json.dumps(r))
 
-    ok = (parity < 1e-4 and losses[-1] < losses[0]
+    # ok requires: parity with the replicated render, loss decreasing, and
+    # ZERO exchange drops with the planned send_cap (binning overflow is
+    # reported for observability — those drops are depth-tail pairs).
+    ok = (parity < 1e-4 and losses[-1] < losses[0] and pack_of == 0
           and all(o == 0 for o in overflows))
     rec = dict(
         ok=ok, devices=nd, n_gaussians=n, size=size,
@@ -116,6 +124,7 @@ def main():
         local_capacity=plan.local_capacity,
         ici_bytes_per_step=ici_bytes_per_step(plan),
         parity_max_diff=parity,
+        pack_overflow=pack_of, bin_overflow=bin_of,
         losses=losses, overflows=overflows,
         predicted_config5_weak_scaling=table,
         backend=jax.default_backend(),

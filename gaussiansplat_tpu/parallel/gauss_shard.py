@@ -180,10 +180,13 @@ def render_gauss_sharded_strip(
     binning = bin_gaussians(
         proj2, camera.width, camera.height, cfg,
         tile_row0=d * rows, tile_rows=rows,
-        # Arrivals <= n_strips*send_cap entries, but they only bin into 1/D of
-        # the tile grid; scale the pair budget accordingly.
+        # Arrivals <= n_strips*send_cap entries, but they only bin into 1/D
+        # of the tile grid; scale the pair budget accordingly. The 2x skew
+        # factor covers non-uniform strip loading (scene content is never
+        # spread perfectly evenly over image rows); binning overflow is
+        # reported separately below so a too-small budget is observable.
         capacity=max(
-            cfg.pair_capacity(n_strips * send_cap) // n_strips,
+            2 * cfg.pair_capacity(n_strips * send_cap) // n_strips,
             4 * cfg.chunk_size,
         ),
         impl=impl,
@@ -196,6 +199,11 @@ def render_gauss_sharded_strip(
     aux = dict(
         radii=proj.radius,
         overflow=binning.overflow + pack_overflow,
+        # Separated for diagnosis: exchange drops (send_cap too small — real
+        # payload loss anywhere in the frustum) vs strip-binning drops
+        # (pair budget — depth-tail pairs, usually occluded).
+        pack_overflow=pack_overflow,
+        bin_overflow=binning.overflow,
         num_pairs=binning.num_pairs,
         max_chunks_needed=out.max_chunks_needed,
     )
@@ -253,6 +261,9 @@ def make_gauss_sharded_render(
                 jax.lax.pmax(
                     aux["max_chunks_needed"].astype(jnp.float32), GAUSS_AXIS
                 ),
+                jax.lax.psum(
+                    aux["pack_overflow"].astype(jnp.float32), GAUSS_AXIS
+                ),
             ])
             return img, trans, aux["radii"], scalars
 
@@ -281,7 +292,8 @@ def make_gauss_sharded_render(
         if not with_aux:
             return img[:height], trans[:height]
         aux = dict(radii=radii, overflow=scalars[0].astype(jnp.int32),
-                   max_chunks_needed=scalars[1].astype(jnp.int32))
+                   max_chunks_needed=scalars[1].astype(jnp.int32),
+                   pack_overflow=scalars[2].astype(jnp.int32))
         return img[:height], trans[:height], aux
 
     return f
