@@ -428,7 +428,15 @@ def bin_gaussians(
     # descriptor owning >= 1 pair). The reference never achieves a per-tile
     # depth order at all: its compaction ranks are computed in original index
     # order (`compact.jl:3-21`, SURVEY §2.2).
+    # The empty flag is FOLDED INTO the depth key (+inf sorts empties to the
+    # tail; depth is a positive view-space z for every valid gaussian), so
+    # the sort runs one lane lighter — measured 6.8 -> 5.4 ms at 1M and
+    # 17.8 -> 13.9 ms at 3M on chip (benchmarks/profile_binning_*_r4.json).
+    # The tail's internal order changes (iota vs (depth, iota)) but nothing
+    # downstream reads tail rows: their counts are 0, they emit no pairs,
+    # and their gradient rows are zero.
     iota_n = jnp.arange(n, dtype=jnp.int32)
+    depth_key = jnp.where(counts > 0, depth, jnp.inf)
     if rect_packable:
         # Ride the packed rect (and the survivor mask) through the compaction
         # sort as extra operands: one extra sort lane costs ~1ms/M on TPU
@@ -436,9 +444,9 @@ def bin_gaussians(
         # (~7ms/M).
         rect = ((((xmin << by) | ymin) << bw) | tw) << bh | th
         rect = jnp.where(counts > 0, rect, 0)
-        _, _, comp_order, rect_c, mask_c = jax.lax.sort(
-            ((counts == 0).astype(jnp.int32), depth, iota_n, rect, mask),
-            num_keys=3,
+        _, comp_order, rect_c, mask_c = jax.lax.sort(
+            (depth_key, iota_n, rect, mask),
+            num_keys=2,
         )
         th_c = rect_c & ((1 << bh) - 1)
         tw_c = (rect_c >> bh) & ((1 << bw) - 1)
@@ -456,9 +464,7 @@ def bin_gaussians(
     else:  # enormous tile grids: gather fields separately
         rect_c = None
         mask_c = None
-        _, _, comp_order = jax.lax.sort(
-            ((counts == 0).astype(jnp.int32), depth, iota_n), num_keys=3
-        )
+        _, comp_order = jax.lax.sort((depth_key, iota_n), num_keys=2)
         xmin_c, ymin_c, tw_c = (
             xmin[comp_order], ymin[comp_order], tw[comp_order]
         )

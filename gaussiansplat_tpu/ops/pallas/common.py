@@ -269,19 +269,30 @@ def tri_dot_split(x: jax.Array, tri: jax.Array) -> jax.Array:
 def q_dot_exact_basis(basis: jax.Array, q_rows: jax.Array) -> jax.Array:
     """basis @ q_rows where `basis` is exact in bf16 (integer entries
     |.| <= 256 from the tile-centered pixel_basis): a 3-way Dekker split of
-    q_rows reconstructs its full ~24 mantissa bits, so three bf16 MXU passes
-    match Precision.HIGHEST (six passes) on the catastrophically-cancelling
-    expanded polynomial."""
+    q_rows reconstructs its full ~24 mantissa bits, matching
+    Precision.HIGHEST (six passes) on the catastrophically-cancelling
+    expanded polynomial.
+
+    The mid and lo splits are STACKED along the contraction dim —
+    [b16 b16] (PX, 16) @ [mid; lo] (16, CS) — so the whole thing is TWO MXU
+    passes instead of three K = 8 passes: an MXU pass streams M rows
+    regardless of K/N underfill, so the unstacked form cost 3 row-streams
+    for identical math. The hi pass stays separate ON PURPOSE: its products
+    are 2^8 / 2^16 larger than mid's / lo's, and interleaving all three in
+    one accumulation chain raises the error at the q ~ sigma^2 support
+    boundary ~4x (measured 6.6e-6 vs 1.5e-6), enough to flip alpha gates a
+    few ULPs from the boundary. With hi separate, the grouped sum is
+    error-equivalent to the original three-pass form. The basis duplicate
+    is a compile-time constant."""
     b16 = basis.astype(jnp.bfloat16)
+    b2 = jnp.concatenate([b16, b16], axis=1)               # (PX, 16) const
     hi = q_rows.astype(jnp.bfloat16)
     r = q_rows - hi.astype(jnp.float32)
     mid = r.astype(jnp.bfloat16)
     lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def d(x):
-        return jnp.dot(b16, x, preferred_element_type=jnp.float32)
-
-    return d(hi) + (d(mid) + d(lo))
+    q2 = jnp.concatenate([mid, lo], axis=0)                # (16, CS)
+    return (jnp.dot(b16, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(b2, q2, preferred_element_type=jnp.float32))
 
 
 def mom_dot_exact_basis(basis: jax.Array, dq: jax.Array) -> jax.Array:

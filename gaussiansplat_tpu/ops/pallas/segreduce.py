@@ -45,25 +45,27 @@ def _segreduce_kernel(
     off_blocks_ref,    # (NB + 1,) i32 SMEM: pair range per rank block
     # inputs
     dpre_ref,          # (NCH, Ppad) f32 HBM: pair grads in PRE-SORT order
-    off_win_ref,       # (1, SEG_WIN) i32 VMEM: seg_offsets[bG .. bG+G] window
+    off_win_ref,       # (1, WIN) i32 VMEM: seg_offsets[bG .. bG+G] window
     # output
-    out_ref,           # (NCH, SEG_G) f32 VMEM: per-rank sums for this block
+    out_ref,           # (NCH, G) f32 VMEM: per-rank sums for this block
     # scratch
-    chunk_buf,         # (NBUF, NCH or NCH_PACKED, SEG_C) f32 VMEM ring
+    chunk_buf,         # (NBUF, NCH or NCH_PACKED, C) f32 VMEM ring
     sems,              # (NBUF,) DMA semaphores
     *,
     packed: bool,
+    seg_c: int,
+    seg_g: int,
 ):
     b = pl.program_id(0)
-    c = SEG_C
+    c = seg_c
 
     s = off_blocks_ref[b]
     e = off_blocks_ref[b + 1]
     base = pl.multiple_of((s // c) * c, c)
     n_chunks = (e - base + c - 1) // c
 
-    lo = off_win_ref[:, 0:SEG_G]                     # (1, G) segment starts
-    hi = off_win_ref[:, 1 : SEG_G + 1]               # (1, G) segment ends
+    lo = off_win_ref[:, 0:seg_g]                     # (1, G) segment starts
+    hi = off_win_ref[:, 1 : seg_g + 1]               # (1, G) segment ends
 
     def chunk_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -117,7 +119,7 @@ def _segreduce_kernel(
         return acc + d(c_hi) + (d(c_mid) + d(c_lo))
 
     acc = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((NCH, SEG_G), jnp.float32)
+        0, n_chunks, body, jnp.zeros((NCH, seg_g), jnp.float32)
     )
     out_ref[...] = acc
 
@@ -128,19 +130,27 @@ def segment_reduce_pairs(
     n: int,
     interpret: bool = False,
     packed: bool = False,
+    seg_c: int = SEG_C,
+    seg_g: int = SEG_G,
 ) -> jax.Array:
     """Sum 16-channel pair gradients per depth rank (unpacking bf16-packed
-    color/depth lanes inline when `packed`). Returns (n, NCH)."""
+    color/depth lanes inline when `packed`). Returns (n, NCH).
+
+    dpre_t must be padded with at least `seg_c` zero columns past the last
+    valid pair (aligned chunk windows poke past the end). seg_c/seg_g are
+    block-size tuning knobs (benchmarks/micro_segreduce.py); defaults are
+    the measured-best production values."""
     nch_in = NCH_PACKED if packed else NCH
     assert dpre_t.shape[0] == nch_in
-    nb = -(-n // SEG_G)
+    seg_win = seg_g + 128
+    nb = -(-n // seg_g)
     ranks = jnp.minimum(
-        jnp.arange(nb + 1, dtype=jnp.int32) * SEG_G, n
+        jnp.arange(nb + 1, dtype=jnp.int32) * seg_g, n
     )
     off_blocks = seg_offsets[ranks]
     win = jnp.minimum(
-        jnp.arange(nb, dtype=jnp.int32)[:, None] * SEG_G
-        + jnp.arange(SEG_WIN, dtype=jnp.int32)[None, :],
+        jnp.arange(nb, dtype=jnp.int32)[:, None] * seg_g
+        + jnp.arange(seg_win, dtype=jnp.int32)[None, :],
         n,
     )
     # (NB, 1, WIN): the singleton axis keeps the trailing block dims equal to
@@ -152,25 +162,26 @@ def segment_reduce_pairs(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, SEG_WIN), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, seg_win), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NCH, SEG_G), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, NCH, seg_g), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, nch_in, SEG_C), jnp.float32),
+            pltpu.VMEM((NBUF, nch_in, seg_c), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
     def squeeze_kernel(off_ref, dpre_ref, win_ref, out_ref, chunk_buf, sems):
         _segreduce_kernel(off_ref, dpre_ref, win_ref.at[0], out_ref.at[0],
-                          chunk_buf, sems, packed=packed)
+                          chunk_buf, sems, packed=packed,
+                          seg_c=seg_c, seg_g=seg_g)
 
     out = pl.pallas_call(
         squeeze_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, NCH, SEG_G), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, NCH, seg_g), jnp.float32),
         interpret=interpret,
     )(off_blocks, dpre_t, off_win)
-    return out.transpose(0, 2, 1).reshape(nb * SEG_G, NCH)[:n]
+    return out.transpose(0, 2, 1).reshape(nb * seg_g, NCH)[:n]

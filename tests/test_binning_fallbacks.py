@@ -61,8 +61,11 @@ def _oracle(mean2d, radius, depth, valid, ts, tiles_x, tiles_y,
     counts = np.minimum(tw * th, max_tiles)
     counts = np.where(valid, counts, 0)
 
-    # compaction: nonempty first, by depth, ties by index
-    order = np.lexsort((np.arange(n), depth, counts == 0))
+    # compaction: nonempty first by depth, ties by index; empties sort to
+    # the tail via a +inf depth key (in index order among themselves),
+    # matching bin_gaussians' folded single-key compaction sort
+    depth_key = np.where(counts == 0, np.inf, depth)
+    order = np.lexsort((np.arange(n), depth_key))
     pairs = []  # (tile, rank, gaussian)
     pos = 0
     for rank, g in enumerate(order):
