@@ -134,7 +134,7 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
     tiles_x, tiles_y = -(-w // ts), -(-h // ts)
     t_tiles = tiles_x * tiles_y
     cap = cfg.pair_capacity(n)
-    sh_bytes = model.sh.shape[1] * model.sh.shape[2] * 4
+    sh_bytes = model.sh.shape[1] * 4  # flat (C, 3K) SH layout
 
     project = jax.jit(lambda m: project_gaussians(
         m.means, m.quats, m.log_scales, m.logit_opacities, m.sh, camera, cfg,

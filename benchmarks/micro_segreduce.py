@@ -63,22 +63,30 @@ def main():
 
     print(f"backend={jax.default_backend()} n={n} p={p}")
 
-    # --- segreduce block-size sweep ---
+    # --- segreduce block-size sweep (G first: program-count hypothesis; a
+    # config that yields wrong values on hardware is flagged, not fatal) ---
     ref = None
-    for seg_c, seg_g in [(512, 512), (1024, 512), (2048, 512),
-                         (512, 1024), (1024, 1024), (2048, 1024)]:
+    for seg_c, seg_g in [(512, 512), (512, 1024), (512, 2048),
+                         (1024, 512), (1024, 1024), (2048, 512)]:
         dpad = jnp.concatenate(
             [d8, jnp.zeros((8, seg_c), jnp.float32)], axis=1)
-        f = jax.jit(lambda d, sc=seg_c, sg=seg_g: segment_reduce_pairs(
-            d, seg_offsets, n, packed=True, seg_c=sc, seg_g=sg))
-        out = jax.block_until_ready(f(dpad))
-        if ref is None:
-            ref = out
-        else:
-            err = float(jnp.max(jnp.abs(out - ref)))
-            assert err < 1e-5, (seg_c, seg_g, err)
-        t = timeit(f, dpad)
-        print(f"  segreduce C={seg_c:5d} G={seg_g:5d}: {t * 1e3:8.2f} ms")
+        try:
+            f = jax.jit(lambda d, sc=seg_c, sg=seg_g: segment_reduce_pairs(
+                d, seg_offsets, n, packed=True, seg_c=sc, seg_g=sg))
+            out = jax.block_until_ready(f(dpad))
+            if ref is None:
+                ref = out
+                status = "ref"
+            else:
+                err = float(jnp.max(jnp.abs(out - ref)))
+                status = f"err={err:.2e}" + (
+                    " CORRUPT" if not err < 1e-5 else "")
+            t = timeit(f, dpad)
+            print(f"  segreduce C={seg_c:5d} G={seg_g:5d}: {t * 1e3:8.2f} ms"
+                  f"  [{status}]", flush=True)
+        except Exception as e:
+            print(f"  segreduce C={seg_c:5d} G={seg_g:5d}: FAILED {e!r:.120}",
+                  flush=True)
 
     # --- un-permute lowerings (grads sorted order -> pre-sort order) ---
     sortcarry = jax.jit(lambda sp, d: jax.lax.sort(

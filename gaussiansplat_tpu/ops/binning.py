@@ -506,11 +506,13 @@ def bin_gaussians(
             sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
             sorted_ids_o = sorted_key & ((1 << rank_bits) - 1)
         else:
-            # Pairs leave the expansion in depth-rank order, so the stable
-            # single-key sort by tile reproduces (tile, rank) lexicographic
-            # order while carrying rank/pos as payload operands.
+            # (tile, rank) keys are unique (a gaussian emits at most one
+            # pair per tile), so the non-stable 2-key sort reproduces the
+            # lexicographic order a stable tile-only sort would give, a
+            # shade cheaper (measured 20.3 -> 20.1 ms @3M, 48.0 -> 47.4 ms
+            # @8M on chip).
             sorted_tiles, sorted_ids_o, sorted_pos = jax.lax.sort(
-                (out[0], out[1], pos), num_keys=1, is_stable=True
+                (out[0], out[1], pos), num_keys=2
             )
         return _finish_binning(
             sorted_ids_o, order, sorted_tiles, sorted_pos, off_c,
@@ -582,8 +584,11 @@ def bin_gaussians(
         sorted_tiles = (sorted_key >> rank_bits).astype(jnp.int32)
         sorted_ids_o = sorted_key & ((1 << rank_bits) - 1)
     else:
+        # Same 2-key form as the pallas-expand branch; (tile, rank) is
+        # unique among in-range pairs, and tail duplicates (sentinel tile)
+        # land past num_pairs where every consumer masks.
         sorted_tiles, sorted_ids_o, sorted_pos = jax.lax.sort(
-            (tile_id, ids_o, pos), num_keys=1, is_stable=True
+            (tile_id, ids_o, pos), num_keys=2
         )
 
     return _finish_binning(
