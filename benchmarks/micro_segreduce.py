@@ -45,7 +45,13 @@ def main():
     seg_offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), bounds.astype(jnp.int32),
          jnp.full((1,), p, jnp.int32)])
-    d8 = jax.random.normal(jax.random.PRNGKey(1), (8, p), jnp.float32)
+    # Pack REAL gradient rows: raw random f32 in the packed lanes would
+    # bitcast to NaN bf16 halves inside the kernel and poison comparisons.
+    from gaussiansplat_tpu.ops.pallas.common import pack_grad_chunk
+
+    d16 = jax.random.normal(jax.random.PRNGKey(1), (16, p), jnp.float32)
+    d8 = jax.jit(pack_grad_chunk)(d16)
+    del d16
     pos = jax.random.permutation(jax.random.PRNGKey(2),
                                  jnp.arange(p, dtype=jnp.int32))
 
