@@ -55,7 +55,9 @@ def main():
     pos = jax.random.permutation(jax.random.PRNGKey(2),
                                  jnp.arange(p, dtype=jnp.int32))
 
-    fetch = jax.jit(lambda o: jnp.sum(jnp.ravel(o)[:64].astype(jnp.float32)))
+    fetch = jax.jit(lambda o: jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.ravel(x)[:64].astype(jnp.float32)),
+        o, jnp.float32(0)))
 
     def timeit(f, *fargs):
         for _ in range(2):
