@@ -225,12 +225,13 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
             "gather_pack", t_gather * 1e3,
             n * (16 + 8) * 4 + 2 * cap * 8 * 4, 0.0,
             note="random-access P-gather; ~7ns/idx primitive floor"),
-        "kernel_fwd": _roofline("kernel_fwd", t_kfwd * 1e3,
-                                kfwd_bytes, kfwd_flops,
-                                note="eff-FLOPs: MXU pass model"),
-        "kernel_bwd": _roofline("kernel_bwd", t_kbwd * 1e3,
-                                kbwd_bytes, kbwd_flops,
-                                note="eff-FLOPs: MXU pass model"),
+        "kernel_fwd": _roofline(
+            "kernel_fwd", t_kfwd * 1e3, kfwd_bytes, kfwd_flops,
+            note="pass-model FLOPs; DERIVED time (raster_total - gather): "
+                 "overlap and early exit can push pct_sol past 100"),
+        "kernel_bwd": _roofline(
+            "kernel_bwd", t_kbwd * 1e3, kbwd_bytes, kbwd_flops,
+            note="pass-model FLOPs; DERIVED time (bwd_total - reduce)"),
         "grad_reduce": _roofline(
             "grad_reduce", t_reduce * 1e3,
             (9 * cap) * 4 * 2 + cap * 8 * 4 + n * 16 * 4 + 2 * n * 16 * 4,

@@ -74,10 +74,12 @@ def _bwd_kernel(
     dpayload_ref,      # (NCH, Ppad) f32 HBM
     # scratch
     chunk_buf,         # (NBUF, NCH, CS) VMEM read ring
-    out_buf,           # (2, NCH, CS) VMEM write double buffer
+    out_buf,           # (WBUF, NCH, CS) VMEM write ring
     zero_buf,          # (NCH, CS) VMEM constant-zero block (tail fill)
+    rmw_buf,           # (NCH, CS) VMEM boundary-chunk prefetch
     in_sems,           # (NBUF,) DMA sems
-    out_sems,          # (2,) DMA sems
+    out_sems,          # (WBUF,) DMA sems
+    rmw_sem,           # () DMA sem for the boundary prefetch
     *,
     tile_size: int,
     chunk_size: int,
@@ -143,17 +145,34 @@ def _bwd_kernel(
             out_sems.at[slot],
         )
 
-    # Zero-fill the dead tail [n_live, n_chunks) with alternating DMAs from
-    # the constant-zero block; drained before the compute loop reuses the
-    # two out_sems slots. Windows are chunk-aligned and distinct per chunk,
+    wbuf = out_buf.shape[0]
+
+    # Prefetch the boundary chunk for the read-modify-write at ci == 0: its
+    # aligned window can overlap the PREVIOUS tile's segment (whose writes
+    # were fully drained before that program ended), and issuing the read
+    # here hides its round trip behind this tile's whole reverse sweep —
+    # the old in-loop start+wait exposed a full DMA latency per tile.
+    # Disjoint from this program's zero-fills (those target chunks >= n_live
+    # >= 1) and from its own writes (chunk 0 is written last).
+    @pl.when(n_chunks > 0)
+    def _():
+        pltpu.make_async_copy(
+            dpayload_ref.at[:, pl.ds(pl.multiple_of(base, cs), cs)],
+            rmw_buf,
+            rmw_sem,
+        ).start()
+
+    # Zero-fill the dead tail [n_live, n_chunks) with ring DMAs from the
+    # constant-zero block; drained before the compute loop reuses the
+    # out_sems slots. Windows are chunk-aligned and distinct per chunk,
     # so these writes are disjoint from the live chunks' writes below.
     zero_buf[...] = jnp.zeros((zero_buf.shape[0], cs), jnp.float32)
     n_dead = n_chunks - n_live
 
     def zero_body(j, _):
-        slot = j % 2
+        slot = j % wbuf
 
-        @pl.when(j >= 2)
+        @pl.when(j >= wbuf)
         def _():
             out_dma(slot, 0).wait()
 
@@ -167,7 +186,7 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, n_dead, zero_body, 0)
     # At most one DMA is outstanding per slot; slot s was used iff s < n_dead.
-    for s in range(2):
+    for s in range(wbuf):
         @pl.when(s < n_dead)
         def _(s=s):
             out_dma(s, 0).wait()
@@ -248,30 +267,26 @@ def _bwd_kernel(
         if packed:
             dchunk = pack_grad_chunk(dchunk)  # (NCH_PACKED, CS)
 
-        # Write path: double-buffered slots so the HBM store overlaps the
-        # next chunk's compute. Before reusing a slot, consume the completion
-        # of the write issued on it two chunks ago (same transfer shape, so
+        # Write path: WBUF-deep ring so the HBM store overlaps several
+        # chunks of compute. Before reusing a slot, consume the completion
+        # of the write issued on it WBUF chunks ago (same transfer shape, so
         # the wait size matches).
-        slot = ci % 2
+        slot = ci % wbuf
 
-        @pl.when(ci + 2 < n_live)
+        @pl.when(ci + wbuf < n_live)
         def _():
-            out_dma(slot, ci + 2).wait()
+            out_dma(slot, ci + wbuf).wait()
 
-        # Boundary chunk: preserve the previous tile's lanes. Its own writes
-        # were fully drained before that program ended, and this tile's
-        # in-flight writes (chunks > 0) never touch the base window, so the
-        # read-modify-write is race-free.
+        # Boundary chunk: preserve the previous tile's lanes, prefetched
+        # into rmw_buf at program start (see above).
         @pl.when(ci == 0)
         def _():
-            rmw = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 dpayload_ref.at[:, pl.ds(pl.multiple_of(base, cs), cs)],
-                out_buf.at[slot], out_sems.at[slot],
-            )
-            rmw.start()
-            rmw.wait()
+                rmw_buf, rmw_sem,
+            ).wait()
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1) + base
-            out_buf[slot] = jnp.where(lane < start, out_buf[slot], dchunk)
+            out_buf[slot] = jnp.where(lane < start, rmw_buf[...], dchunk)
 
         @pl.when(ci > 0)
         def _():
@@ -291,10 +306,10 @@ def _bwd_kernel(
     dlog_t_init = cot[:, 3:4]
     jax.lax.fori_loop(0, n_live, body, (log_t_final, dlog_t_init))
 
-    # Drain the in-flight writes of the final two chunks (ci = 0 and 1)
-    # before this program ends: the next tile's boundary read-modify-write
-    # may touch the shared window.
-    for s in range(2):
+    # Drain the in-flight writes of the final chunks (ci = 0..WBUF-1, each
+    # on its own slot) before this program ends: the next tile's boundary
+    # read-modify-write may touch the shared window.
+    for s in range(wbuf):
         @pl.when(s < n_live)
         def _(s=s):
             out_dma(s, s).wait()
@@ -352,10 +367,12 @@ def rasterize_backward(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((NBUF, nch_io, cfg.chunk_size), jnp.float32),
-            pltpu.VMEM((2, nch_io, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((4, nch_io, cfg.chunk_size), jnp.float32),
+            pltpu.VMEM((nch_io, cfg.chunk_size), jnp.float32),
             pltpu.VMEM((nch_io, cfg.chunk_size), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
 
