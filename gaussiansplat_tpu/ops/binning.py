@@ -265,7 +265,27 @@ def reduce_pair_grads(
     rank_of = jax.lax.sort(
         (depth_order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )[1]
+    # NB: no 9-channel shortcut here — gather_payload is a public VJP whose
+    # callers may carry real cotangents on ANY channel (tests do); only the
+    # packed rasterizer path (below) has structurally-zero tails.
     return dpay_rank[rank_of]
+
+
+def _gather_grad_rows(dpay_rank: jax.Array, rank_of: jax.Array) -> jax.Array:
+    """Apply the rank->original permutation to reduced gradients, moving
+    only the 9 channels that can carry signal in the PACKED rasterizer VJP
+    (mean2d, conic, opacity, rgb). The wsum/depth channels (9, 10) have no
+    cotangent there — the rasterizer returns only image and transmittance,
+    and _image_cotangents zeroes those rows — and 11..15 are stop-gradient
+    scratch, so their reduced values are exactly zero and the zero-pad
+    reproduces them. TPU gathers are index-AND-width bound: measured
+    16.6 ms for (N,8) rows vs 37.7 ms for (N,16) at N=3M
+    (benchmarks/micro_segreduce.py)."""
+    n = dpay_rank.shape[0]
+    g9 = dpay_rank[:, :9][rank_of]
+    return jnp.concatenate(
+        [g9, jnp.zeros((n, dpay_rank.shape[1] - 9), dpay_rank.dtype)], axis=1
+    )
 
 
 def reduce_pair_grads_packed_t(
@@ -318,7 +338,7 @@ def reduce_pair_grads_packed_t(
     rank_of = jax.lax.sort(
         (depth_order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )[1]
-    return dpay_rank[rank_of]
+    return _gather_grad_rows(dpay_rank, rank_of)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
