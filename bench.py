@@ -120,7 +120,7 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
     import jax.numpy as jnp
     from gaussiansplat_tpu.ops.binning import (
         bin_gaussians, reduce_pair_grads_packed_t)
-    from gaussiansplat_tpu.ops.pallas.common import pack_payload_t
+    from gaussiansplat_tpu.ops.pallas.common import pack_payload_rows
     from gaussiansplat_tpu.ops.pallas.segreduce import SEG_C
     from gaussiansplat_tpu.ops.projection import make_payload, project_gaussians
     from gaussiansplat_tpu.ops.raster_dispatch import rasterize_payload
@@ -146,7 +146,8 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
     payload = jax.block_until_ready(jax.jit(make_payload)(proj))
 
     gather8 = jax.jit(
-        lambda p, dor, sr: pack_payload_t(p[dor])[:, sr])
+        lambda p, dor, sr: jax.lax.optimization_barrier(
+            pack_payload_rows(p))[dor][sr].T)
     jax.block_until_ready(gather8(payload, b.depth_order, b.sorted_ranks))
 
     rast_fwd = jax.jit(lambda p, bb: rasterize_payload(

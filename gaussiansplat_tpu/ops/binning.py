@@ -272,19 +272,38 @@ def reduce_pair_grads(
 
 
 def _gather_grad_rows(dpay_rank: jax.Array, rank_of: jax.Array) -> jax.Array:
-    """Apply the rank->original permutation to reduced gradients, moving
-    only the 9 channels that can carry signal in the PACKED rasterizer VJP
-    (mean2d, conic, opacity, rgb). The wsum/depth channels (9, 10) have no
-    cotangent there — the rasterizer returns only image and transmittance,
-    and _image_cotangents zeroes those rows — and 11..15 are stop-gradient
-    scratch, so their reduced values are exactly zero and the zero-pad
-    reproduces them. TPU gathers are index-AND-width bound: measured
-    16.6 ms for (N,8) rows vs 37.7 ms for (N,16) at N=3M
-    (benchmarks/micro_segreduce.py)."""
+    """Apply the rank->original permutation to reduced gradients through an
+    8-channel row table. TPU row gathers have a hard fast path at width
+    <= 8 f32 (measured 16.7 ms vs 38.3 ms for ANY width >= 9, N=3M), so
+    the 9 live channels (mean2d, conic, opacity, rgb) ride as 6 exact f32
+    lanes + one bf16 bit-pair for (r, g) + b exact. Quantizing the REDUCED
+    color-gradient values to bf16 is sound where per-pair packing is not:
+    the error is ~0.4% OF THE FINAL summed gradient (no cancellation
+    amplification), the same class as the packed path's existing bf16
+    color quantization. The wsum/depth channels (9, 10) have no cotangent
+    in this VJP — the rasterizer returns only image and transmittance —
+    and 11..15 are stop-gradient scratch: all exactly zero, reproduced by
+    the zero-pad. The barrier keeps XLA from fusing the repack into the
+    gather (which would re-widen the gathered rows past the fast path)."""
+    from .pallas.common import pack_bf16_pair, unpack_bf16_pair
+
     n = dpay_rank.shape[0]
-    g9 = dpay_rank[:, :9][rank_of]
+    rows8 = jnp.concatenate(
+        [
+            dpay_rank[:, :6],
+            pack_bf16_pair(dpay_rank[:, 6:7], dpay_rank[:, 7:8]),
+            dpay_rank[:, 8:9],
+        ],
+        axis=1,
+    )
+    rows8 = jax.lax.optimization_barrier(rows8)[rank_of]
+    r, g = unpack_bf16_pair(rows8[:, 6:7])
     return jnp.concatenate(
-        [g9, jnp.zeros((n, dpay_rank.shape[1] - 9), dpay_rank.dtype)], axis=1
+        [
+            rows8[:, :6], r, g, rows8[:, 7:8],
+            jnp.zeros((n, dpay_rank.shape[1] - 9), dpay_rank.dtype),
+        ],
+        axis=1,
     )
 
 

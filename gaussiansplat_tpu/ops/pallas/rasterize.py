@@ -21,7 +21,7 @@ from ..binning import reduce_pair_grads_packed_t
 from ..projection import PAYLOAD_DIM
 from ..tile_raster import RasterOut, image_to_tiles, tiles_to_image
 from .backward import rasterize_backward
-from .common import NCH_PACKED, NOUT, OUT_LOGT, OUT_STOP, pack_payload_t
+from .common import NCH_PACKED, NOUT, OUT_LOGT, OUT_STOP, pack_payload_rows
 from .forward import rasterize_forward
 
 
@@ -162,10 +162,16 @@ def _make_packed_rasterizer(width: int, height: int, cfg: RasterConfig,
         return img, trans
 
     def _fwd(payload, bf, background):
-        packed_t = pack_payload_t(payload[bf["depth_order"]])  # (8, N)
+        # Row-major packed table + two <=8-wide row gathers + one transpose:
+        # measured ~2x cheaper than the channel-major pack + lane-major
+        # P-gather (see common.pack_payload_rows). The barrier keeps XLA
+        # from fusing the pack into the gathers (which would re-widen the
+        # gathered rows past the fast-path width).
+        rows = jax.lax.optimization_barrier(pack_payload_rows(payload))
+        gathered = rows[bf["depth_order"]][bf["sorted_ranks"]]   # (P, 8)
         payload_t = jnp.concatenate(
             [
-                packed_t[:, bf["sorted_ranks"]],               # (8, P) gather
+                gathered.T,                                      # (8, P)
                 jnp.zeros((NCH_PACKED, cs), jnp.float32),
             ],
             axis=1,
