@@ -35,7 +35,9 @@ def main():
     ap.add_argument("--n", type=int, default=3_000_000)
     ap.add_argument("--ppg", type=float, default=2.1)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    results = {}
 
     n = args.n
     p = int(n * args.ppg)
@@ -90,6 +92,7 @@ def main():
                 status = f"err={err:.2e}" + (
                     " CORRUPT" if not err < 1e-5 else "")
             t = timeit(f, dpad)
+            results[f"segreduce_c{seg_c}_g{seg_g}_ms"] = round(t * 1e3, 2)
             print(f"  segreduce C={seg_c:5d} G={seg_g:5d}: {t * 1e3:8.2f} ms"
                   f"  [{status}]", flush=True)
         except Exception as e:
@@ -131,7 +134,28 @@ def main():
     g8 = jax.jit(lambda d, ix: d[ix])
     d8n = jax.random.normal(jax.random.PRNGKey(5), (n, 8), jnp.float32)
     t = timeit(g8, d8n, perm)
+    results["gather_n8_row_ms"] = round(t * 1e3, 2)
     print(f"  (N,8) row gather              : {t * 1e3:8.2f} ms")
+
+    # Row-width sweep: TPU row gathers have a hard fast path at <= 8 f32
+    # per row (~5.6 ns/row) and fall to ~13 ns/row at ANY width >= 9 —
+    # the measurement behind the 8-lane packed reorder tables
+    # (ops/pallas/common.pack_payload_rows, binning._gather_grad_rows).
+    grow = jax.jit(lambda d, ix: d[ix])
+    for wdt in (4, 8, 9, 12, 16):
+        dw = jax.random.normal(jax.random.PRNGKey(6), (n, wdt), jnp.float32)
+        t = timeit(grow, dw, perm)
+        results[f"gather_n{wdt}_row_ms"] = round(t * 1e3, 2)
+        print(f"  (N,{wdt:2d}) row gather             : {t * 1e3:8.2f} ms",
+              flush=True)
+
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(dict(n=n, p=p, backend=jax.default_backend(),
+                           **results), f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
