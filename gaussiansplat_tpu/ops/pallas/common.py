@@ -51,7 +51,10 @@ NOUT = 8
 
 # Chunk-DMA ring depth (slots in the VMEM read buffer; NBUF-1 transfers stay
 # in flight). 8-16KB chunk reads are HBM-latency-bound: two slots leave the
-# MXU waiting on the round trip, four hide it behind compute.
+# MXU waiting on the round trip, four hide it behind compute. Depth 8 was
+# A/B'd on chip (round 4, 3M config): identical step time, so the
+# backward kernel's ~50%-of-pass-model gap is NOT read-latency exposure —
+# four slots already hide it. Kept at 4 for the smaller VMEM footprint.
 NBUF = 4
 
 # Packed payload: 8 f32 lanes per pair instead of 16. Geometry stays exact
