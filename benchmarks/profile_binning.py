@@ -148,9 +148,9 @@ def main():
     rows = [
         ("project", timeit(project, model), "N"),
         ("ranges+mask", timeit(pre_sort_fields, proj), "N"),
-        ("comp_sort 5op/3key (prod)",
+        ("comp_sort 5op/3key (pre-r4)",
          timeit(comp5, counts, depth, rect, mask), "N"),
-        ("comp_sort 4op/2key (cand)",
+        ("comp_sort 4op/2key (prod since r4)",
          timeit(comp4, counts, depth, rect, mask), "N"),
     ]
 
@@ -177,11 +177,11 @@ def main():
                 (t, r, pos), num_keys=1, is_stable=True))
             sorted_tiles, _, sorted_pos = jax.block_until_ready(
                 pair_sort(tile_s, rank_s))
-            rows.append(("pair_sort 3op stable (prod)",
+            rows.append(("pair_sort 3op stable (pre-r4)",
                          timeit(pair_sort, tile_s, rank_s), "P"))
             pair_sort2 = jax.jit(lambda t, r: jax.lax.sort(
                 (t, r, pos), num_keys=2, is_stable=False))
-            rows.append(("pair_sort 3op/2key nonstable (cand)",
+            rows.append(("pair_sort 3op/2key nonstable (prod since r4)",
                          timeit(pair_sort2, tile_s, rank_s), "P"))
     else:
         sorted_pos = pos
