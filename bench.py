@@ -38,8 +38,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # (sorts, gathers, kernel streams) scales with the STATIC pair capacity, so
 # each config's budget is its measured pairs/gaussian (benchmarks/
 # bench_*_r3.json artifacts, under the exact-AABB rects + survivor cull)
-# plus ~10-15% headroom; the overflow validity bit below catches a budget
-# ever going stale.
+# plus ~6-7% headroom — deliberately tight, because P-stream cost scales
+# with the budget. The margin is safe ONLY for the fixed PRNGKey(0) scene
+# below; any scene/seed change must re-measure pairs/gaussian, and the
+# overflow validity bit below makes a stale budget machine-detectable
+# (the run records overflow and its rays/s is flagged untrustworthy).
 CONFIGS = {
     "1080p1m": (1920, 1080, 1_000_000, 2.6),  # measured 2.44 pairs/gaussian
     "1080p3m": (1920, 1080, 3_000_000, 1.9),  # measured 1.79 (config-3 shape)
@@ -110,18 +113,22 @@ def _roofline(name, t_ms, hbm_bytes, mxu_flops, note=""):
 def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
     """Isolated per-stage timings + roofline accounting (pallas packed path).
 
-    Derived stages: kernel_fwd = raster_fwd_total - gather; kernel_bwd =
-    raster_bwd_total - grad_reduce. `sum_parts_ms` vs the measured step time
-    bounds what the decomposition leaves unexplained (jit fusion across
-    stage boundaries makes the parts slightly different programs than the
-    fused step, so a few percent of slack is expected)."""
+    The fwd/bwd raster kernels are timed DIRECTLY (raw pallas_call on a
+    prebuilt payload stream — no subtraction), and their pass models consume
+    the MEASURED per-tile stop-chunk counts from the forward's early exit
+    (OUT_STOP row), so pct_sol is a true <= 100 bound (VERDICT r4 item 1a:
+    the old all-chunks model read 149-291%). `sum_parts_ms` vs the measured
+    step time bounds what XLA's cross-stage overlap hides."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from gaussiansplat_tpu.ops.binning import (
         bin_gaussians, reduce_pair_grads_packed_t)
-    from gaussiansplat_tpu.ops.pallas.common import pack_payload_rows
-    from gaussiansplat_tpu.ops.pallas.segreduce import SEG_C
+    from gaussiansplat_tpu.ops.pallas.common import (
+        NCH_PACKED, OUT_STOP, pack_payload_rows)
+    from gaussiansplat_tpu.ops.pallas.backward import rasterize_backward
+    from gaussiansplat_tpu.ops.pallas.forward import rasterize_forward
+    from gaussiansplat_tpu.ops.pallas.rasterize import _image_cotangents
     from gaussiansplat_tpu.ops.projection import make_payload, project_gaussians
     from gaussiansplat_tpu.ops.raster_dispatch import rasterize_payload
     from gaussiansplat_tpu.train.loss import photometric_loss
@@ -150,10 +157,36 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
             pack_payload_rows(p))[dor][sr].T)
     jax.block_until_ready(gather8(payload, b.depth_order, b.sorted_ranks))
 
+    # Prebuilt packed payload stream — the exact input of the raw kernels.
+    payload_t = jax.block_until_ready(jax.jit(
+        lambda p, dor, sr: jnp.concatenate(
+            [jax.lax.optimization_barrier(pack_payload_rows(p))[dor][sr].T,
+             jnp.zeros((NCH_PACKED, cs), jnp.float32)], axis=1)
+    )(payload, b.depth_order, b.sorted_ranks))
+
+    kfwd = jax.jit(lambda pt, tstarts: rasterize_forward(
+        pt, tstarts, w, h, cfg, packed=True))
+    out_tiles = jax.block_until_ready(kfwd(payload_t, b.tile_starts))
+    stops = jnp.asarray(out_tiles[:, OUT_STOP, 0], jnp.int32)
+
+    dimg = jax.random.normal(
+        jax.random.PRNGKey(3), (h, w, 3), jnp.float32) * 1e-3
+    dtrans = jnp.zeros((h, w), jnp.float32)
+    cot_tiles = jax.block_until_ready(jax.jit(
+        lambda di, dt, ot: _image_cotangents((di, dt), ot, bg, ts)[0]
+    )(dimg, dtrans, out_tiles))
+
+    kbwd = jax.jit(lambda pt, tstarts, st, ct, ft: rasterize_backward(
+        pt, tstarts, st, ct, ft, w, h, cfg, packed=True))
+    jax.block_until_ready(
+        kbwd(payload_t, b.tile_starts, stops, cot_tiles, out_tiles))
+
+    # Full raster fwd/bwd (gather + kernel fused, via the public dispatch):
+    # cross-checks that gather + kernel ~= total, i.e. nothing material is
+    # unaccounted between the direct stage timings.
     rast_fwd = jax.jit(lambda p, bb: rasterize_payload(
         p, bb, bg, w, h, cfg, "pallas").image)
     img0 = jax.block_until_ready(rast_fwd(payload, b))
-    dimg = jax.random.normal(jax.random.PRNGKey(3), img0.shape) * 1e-3
 
     @jax.jit
     def rast_bwd(p, bb, di):
@@ -189,29 +222,42 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
     t_project = timeit(project, model)
     t_bin = timeit(binjit, proj)
     t_gather = timeit(gather8, payload, b.depth_order, b.sorted_ranks)
+    t_kfwd = timeit(kfwd, payload_t, b.tile_starts)
+    t_kbwd = timeit(kbwd, payload_t, b.tile_starts, stops, cot_tiles,
+                    out_tiles)
     t_rfwd = timeit(rast_fwd, payload, b)
     t_rbwd = timeit(rast_bwd, payload, b, dimg)
     t_reduce = timeit(reduce, d8, b)
     t_pvjp = timeit(proj_vjp, params, dpay)
     t_loss = timeit(loss_grad, img0)
 
-    # Exact chunk count from the segment offsets (aligned-window model the
-    # kernels use; early exit makes this an upper bound for live compute).
+    # Chunk accounting: binned chunks from the segment offsets, LIVE chunks
+    # from the forward's measured early-exit stop counters. The forward
+    # composites exactly stop_t chunks per tile; the backward computes
+    # n_live_t = max(min(stop_t, nc_t), min(nc_t, 1)) (chunk 0 always takes
+    # the compute path for boundary RMW) and zero-fill-DMAs the dead tail.
     starts = np.asarray(b.tile_starts)
+    stops_np = np.asarray(stops)
     base = (starts[:-1] // cs) * cs
-    n_chunks = int(np.sum((starts[1:] - base + cs - 1) // cs))
+    nc_t = (starts[1:] - base + cs - 1) // cs
+    n_chunks = int(np.sum(nc_t))
+    live_fwd = int(np.sum(np.minimum(stops_np, nc_t)))
+    live_bwd = int(np.sum(np.maximum(np.minimum(stops_np, nc_t),
+                                     np.minimum(nc_t, 1))))
+    dead_bwd = n_chunks - live_bwd
 
     pass_row = 2.0 * px * 128 * cs   # eff-FLOPs of one M=PX bf16 MXU pass
     fwd_passes = 3 + 2 + 2           # q, tri, acc
     bwd_passes = 3 + 2 + 2 + 2      # q, tri, dw, tri_suffix (M=PX only)
-    kfwd_flops = n_chunks * fwd_passes * pass_row
-    kbwd_flops = n_chunks * bwd_passes * pass_row
-    kfwd_bytes = n_chunks * cs * 8 * 4 + t_tiles * nout * px * 4
-    kbwd_bytes = (2 * n_chunks * cs * 8 * 4 + 2 * t_tiles * nout * px * 4
-                  + t_tiles * nout * px * 4)
-
-    t_kfwd = max(t_rfwd - t_gather, 1e-9)
-    t_kbwd = max(t_rbwd - t_reduce, 1e-9)
+    kfwd_flops = live_fwd * fwd_passes * pass_row
+    kbwd_flops = live_bwd * bwd_passes * pass_row
+    chunk_b = cs * 8 * 4
+    kfwd_bytes = live_fwd * chunk_b + t_tiles * nout * px * 4
+    kbwd_bytes = (live_bwd * chunk_b          # payload reads (live only)
+                  + live_bwd * chunk_b        # grad writes
+                  + dead_bwd * chunk_b        # zero-fill writes (dead tail)
+                  + t_tiles * chunk_b         # boundary RMW prefetch reads
+                  + 2 * t_tiles * nout * px * 4)  # cot + fwd tile reads
 
     img_b = w * h * 3 * 4
     stages = {
@@ -228,11 +274,12 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
             note="random-access P-gather; ~7ns/idx primitive floor"),
         "kernel_fwd": _roofline(
             "kernel_fwd", t_kfwd * 1e3, kfwd_bytes, kfwd_flops,
-            note="pass-model FLOPs; DERIVED time (raster_total - gather): "
-                 "overlap and early exit can push pct_sol past 100"),
+            note="DIRECT pallas_call timing; pass model over MEASURED "
+                 "live (stop) chunks"),
         "kernel_bwd": _roofline(
             "kernel_bwd", t_kbwd * 1e3, kbwd_bytes, kbwd_flops,
-            note="pass-model FLOPs; DERIVED time (bwd_total - reduce)"),
+            note="DIRECT pallas_call timing; pass model over MEASURED "
+                 "live chunks + dead-tail zero-fill bytes"),
         "grad_reduce": _roofline(
             "grad_reduce", t_reduce * 1e3,
             (9 * cap) * 4 * 2 + cap * 8 * 4 + n * 16 * 4 + 2 * n * 16 * 4,
@@ -245,17 +292,22 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
             img_b * 12, w * h * 3 * 11 * 2 * 5 * 2 * 2.0,
             note="L1 + banded-Toeplitz SSIM, fwd+grad"),
     }
-    sum_parts = (t_project + t_bin + t_gather + t_rfwd + t_rbwd + t_reduce
+    sum_parts = (t_project + t_bin + t_gather + t_kfwd + t_kbwd + t_reduce
                  + t_pvjp + t_loss)
     stages["_meta"] = dict(
         n_chunks=n_chunks,
+        live_chunks_fwd=live_fwd,
+        live_chunks_bwd=live_bwd,
         sum_parts_ms=round(sum_parts * 1e3, 2),
         step_ms=round(t_step * 1e3, 2),
         unexplained_ms=round((t_step - sum_parts) * 1e3, 2),
+        raster_fwd_total_ms=round(t_rfwd * 1e3, 2),
+        raster_bwd_total_ms=round(t_rbwd * 1e3, 2),
         peak_tflops=PEAK_FLOPS / 1e12,
         peak_hbm_gbs=PEAK_HBM / 1e9,
     )
-    hdr = f"[bench] stages (n_chunks={n_chunks}):\n"
+    hdr = (f"[bench] stages (chunks: binned={n_chunks} live_fwd={live_fwd} "
+           f"live_bwd={live_bwd}):\n")
     for k, v in stages.items():
         if k == "_meta":
             continue
@@ -263,8 +315,9 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
                 f"({v['bound']}, hbm_min={v['min_ms_hbm']:.2f} "
                 f"mxu_min={v['min_ms_mxu']:.2f})\n")
     hdr += (f"  sum(parts)={sum_parts*1e3:.1f} ms vs step={t_step*1e3:.1f} ms"
-            f" (fwd total={stages['kernel_fwd']['ms']:.1f}+"
-            f"{stages['gather_pack']['ms']:.1f})\n")
+            f" | raster totals fwd={t_rfwd*1e3:.1f} bwd={t_rbwd*1e3:.1f} vs "
+            f"gather+kfwd={1e3*(t_gather+t_kfwd):.1f} "
+            f"reduce+kbwd={1e3*(t_reduce+t_kbwd):.1f}\n")
     sys.stderr.write(hdr)
     return stages
 

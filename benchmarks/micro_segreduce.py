@@ -77,9 +77,9 @@ def main():
     # config that yields wrong values on hardware is flagged, not fatal) ---
     ref = None
     for seg_c, seg_g in [(512, 512), (512, 1024), (512, 2048),
-                         (1024, 512), (1024, 1024), (2048, 512)]:
-        dpad = jnp.concatenate(
-            [d8, jnp.zeros((8, seg_c), jnp.float32)], axis=1)
+                         (1024, 512), (1024, 1024), (2048, 512),
+                         (512, 256), (512, 128), (256, 256)]:
+        dpad = d8  # seg_c-dependent tail padding now lives inside the op
         try:
             f = jax.jit(lambda d, sc=seg_c, sg=seg_g: segment_reduce_pairs(
                 d, seg_offsets, n, packed=True, seg_c=sc, seg_g=sg))
@@ -98,6 +98,26 @@ def main():
         except Exception as e:
             print(f"  segreduce C={seg_c:5d} G={seg_g:5d}: FAILED {e!r:.120}",
                   flush=True)
+
+    # --- segreduce internal decomposition (r5): what the 50 ms buys ---
+    # constoh prices the per-chunk one-hot membership build (wrong values);
+    # split1 prices the 3-way Dekker split (lossy); stacked is the exact
+    # single-weight-load candidate (must match ref bitwise).
+    for ab in ("constoh", "split1", "stacked"):
+        dpad = d8
+        try:
+            f = jax.jit(lambda d, a=ab: segment_reduce_pairs(
+                d, seg_offsets, n, packed=True, ablate=a))
+            out = jax.block_until_ready(f(dpad))
+            err = float(jnp.max(jnp.abs(out - ref))) if ref is not None else -1
+            t = timeit(f, dpad)
+            results[f"segreduce_{ab}_ms"] = round(t * 1e3, 2)
+            note = (f"err={err:.2e}" + (" MUST-MATCH" if ab == "stacked"
+                                        and not err < 1e-6 else ""))
+            print(f"  segreduce ablate={ab:8s}: {t * 1e3:8.2f} ms  [{note}]",
+                  flush=True)
+        except Exception as e:
+            print(f"  segreduce ablate={ab:8s}: FAILED {e!r:.120}", flush=True)
 
     # --- un-permute lowerings (grads sorted order -> pre-sort order) ---
     sortcarry = jax.jit(lambda sp, d: jax.lax.sort(

@@ -243,16 +243,13 @@ def reduce_pair_grads(
     iota = jnp.arange(p, dtype=jnp.int32)
 
     if impl in ("pallas", "pallas_interpret") and nch == 16:
-        from .pallas.segreduce import SEG_C, segment_reduce_pairs
+        from .pallas.segreduce import segment_reduce_pairs
 
         inv = jax.lax.sort((sorted_pos, iota), num_keys=1)[1]
         dpre = dsorted[inv]  # pre-sort order: contiguous per depth rank
         dpre = jnp.where((iota < num_pairs)[:, None], dpre, 0.0)
-        dpre_t = jnp.concatenate(
-            [dpre.T, jnp.zeros((nch, SEG_C), dpre.dtype)], axis=1
-        )
         dpay_rank = segment_reduce_pairs(
-            dpre_t, seg_offsets, n, interpret=(impl == "pallas_interpret")
+            dpre.T, seg_offsets, n, interpret=(impl == "pallas_interpret")
         )
     else:
         valid = (iota < num_pairs)[:, None]
@@ -322,7 +319,7 @@ def reduce_pair_grads_packed_t(
     16 f32 rows and no (P, NCH) transpose ever materializes. Returns (N, NCH)
     unpacked gradients in original gaussian order."""
     del sorted_ranks  # order comes from sorted_pos; kept for signature parity
-    from .pallas.segreduce import SEG_C, segment_reduce_pairs
+    from .pallas.segreduce import segment_reduce_pairs
 
     nch_p, p = dsorted_t.shape
     n = depth_order.shape[0]
@@ -348,9 +345,6 @@ def reduce_pair_grads_packed_t(
     )
     dpre_t = jnp.stack(ops[1:], axis=0)          # pre-sort order, packed
     dpre_t = jnp.where((iota < num_pairs)[None, :], dpre_t, 0.0)
-    dpre_t = jnp.concatenate(
-        [dpre_t, jnp.zeros((nch_p, SEG_C), dpre_t.dtype)], axis=1
-    )
     dpay_rank = segment_reduce_pairs(
         dpre_t, seg_offsets, n, interpret=interpret, packed=True
     )

@@ -88,7 +88,23 @@ def _bwd_kernel(
     alpha_max: float,
     sigma_sq: float,
     packed: bool,
+    ablate: str = "",
 ):
+    # `ablate` compiles reduced variants for the speed-of-light decomposition
+    # (benchmarks/profile_bwd_ablate.py; VERDICT r4 item 1b) — NEVER set in
+    # production. Each drops one cost component while keeping the rest
+    # bit-faithful, so timing differences price components directly:
+    #   dmaonly  — no compute at all: read ring + zero writes (stream floor)
+    #   nograd   — forward recompute + logT rewind only; zero grads written
+    #   nogeom   — full minus the geometry-gradient chain (moment matmul +
+    #              conic/mean/opacity combine)
+    #   nodirect — full minus the direct linear-channel gradient matmul
+    #   nopack   — full minus the bf16 grad repack (writes raw rows 0..7)
+    #   nowrite  — full compute, but per-chunk HBM writes replaced by one
+    #              checksum write per tile (prices the write path; checksum
+    #              keeps the gradient math alive through DCE)
+    assert ablate in ("", "dmaonly", "nograd", "nogeom", "nodirect",
+                      "nopack", "nowrite")
     t = pl.program_id(0)
     cs = chunk_size
     px = tile_size * tile_size
@@ -167,7 +183,7 @@ def _bwd_kernel(
     # out_sems slots. Windows are chunk-aligned and distinct per chunk,
     # so these writes are disjoint from the live chunks' writes below.
     zero_buf[...] = jnp.zeros((zero_buf.shape[0], cs), jnp.float32)
-    n_dead = n_chunks - n_live
+    n_dead = jnp.int32(0) if ablate == "nowrite" else n_chunks - n_live
 
     def zero_body(j, _):
         slot = j % wbuf
@@ -199,7 +215,7 @@ def _bwd_kernel(
             chunk_dma((n_live - 1 - o) % NBUF, n_live - 1 - o).start()
 
     def body(j, carry):
-        log_t_end, dlog_t_end = carry
+        log_t_end, dlog_t_end, csum = carry
         ci = n_live - 1 - j
 
         nxt = ci - (NBUF - 1)
@@ -209,63 +225,100 @@ def _bwd_kernel(
 
         chunk_dma(ci % NBUF, ci).wait()
         chunk = chunk_buf[ci % NBUF]     # (NCH or NCH_PACKED, CS)
-        if packed:
-            chunk = unpack_payload_chunk(chunk)
         active = ci < stop               # forward actually composited this chunk
 
-        alpha, unclamped, (mx, my, a, b, c, op) = chunk_alpha(
-            basis, chunk, ox, oy, base + ci * cs, start, end,
-            alpha_min, alpha_max, sigma_sq,
-        )
-        ell = jnp.log1p(-alpha)
-        s_incl = tri_dot_split(ell, tri)
-        s_excl = s_incl - ell
-        log_t_start = log_t_end - s_incl[:, cs - 1 : cs]
-        t_in = jnp.exp(s_excl + log_t_start)
-        w = alpha * t_in
-
-        # dw[px,g] = sum_c dacc[px,c] * chunk[c,g]: dacc is zero on the f32
-        # geometry rows and the remaining rows of chunk are bf16-exact in
-        # packed mode, so splitting only dacc loses nothing (2 passes vs 3).
-        dims_dw = (((1,), (0,)), ((), ()))
-        if packed:
-            dw = dot_split2_exact_b(dacc, chunk, dims_dw)
+        if ablate == "dmaonly":
+            dchunk = jnp.zeros(
+                (NCH_PACKED if packed else NCH, cs), jnp.float32)
+            new_log_t, new_dlog_t = log_t_end, dlog_t_end
         else:
-            dw = dot_split3(dacc, chunk, dims_dw)      # (PX, CS)
-        d_se = dw * w
-        d_ell = tri_dot_split(d_se, tri_suf)
-        d_ell = d_ell + dlog_t_end
-        dalpha = dw * t_in - d_ell / (1.0 - alpha)
-        dalpha = jnp.where(unclamped, dalpha, 0.0)
-        dq = -0.5 * dalpha * alpha
+            if packed:
+                chunk = unpack_payload_chunk(chunk)
 
-        # Moment matrix: rows sum_px dq * [x^2, y^2, xy, x, y, 1, _, _].
-        mom = mom_dot_exact_basis(basis, dq)   # (8, CS)
-        bxx = mom[0:1]; byy = mom[1:2]; bxy = mom[2:3]
-        bx = mom[3:4]; by = mom[4:5]; b1 = mom[5:6]
-        da = bxx - 2.0 * mx * bx + mx * mx * b1
-        dc = byy - 2.0 * my * by + my * my * b1
-        db = 2.0 * (bxy - mx * by - my * bx + mx * my * b1)
-        dmx = -2.0 * a * (bx - mx * b1) - 2.0 * b * (by - my * b1)
-        dmy = -2.0 * c * (by - my * b1) - 2.0 * b * (bx - mx * b1)
-        dop = -2.0 * b1 / jnp.maximum(op, 1e-20)
+            alpha, unclamped, (mx, my, a, b, c, op) = chunk_alpha(
+                basis, chunk, ox, oy, base + ci * cs, start, end,
+                alpha_min, alpha_max, sigma_sq,
+            )
+            ell = jnp.log1p(-alpha)
+            s_incl = tri_dot_split(ell, tri)
+            s_excl = s_incl - ell
+            log_t_start = log_t_end - s_incl[:, cs - 1 : cs]
+            t_in = jnp.exp(s_excl + log_t_start)
+            w = alpha * t_in
 
-        # Direct (linear) channel gradients: d payload_c = sum_px dacc_c * w.
-        ddirect = dot_split3(
-            dacc, w, (((0,), (0,)), ((), ()))
-        )                                # (NCH, CS)
-        dgeom = jnp.concatenate(
-            [dmx, dmy, da, db, dc, dop,
-             jnp.zeros((NCH - 6, cs), jnp.float32)],
-            axis=0,
-        )
-        # Geometry channels come only through alpha; linear channels only
-        # through the accumulator (their ddirect rows).
-        row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
-        dchunk = jnp.where(row < 6, dgeom, ddirect)
-        dchunk = jnp.where(active, dchunk, 0.0)
-        if packed:
-            dchunk = pack_grad_chunk(dchunk)  # (NCH_PACKED, CS)
+            if ablate == "nograd":
+                # 1e-30-scaled w-sum (not *0.0) keeps the alpha/exp chain
+                # alive through algebraic simplification.
+                dchunk = jnp.concatenate(
+                    [jnp.sum(w, axis=0, keepdims=True) * 1e-30,
+                     jnp.zeros((NCH - 1, cs), jnp.float32)], axis=0)
+                d_se = jnp.zeros((px, cs), jnp.float32)
+            else:
+                # dw[px,g] = sum_c dacc[px,c] * chunk[c,g]: dacc is zero on
+                # the f32 geometry rows and the remaining rows of chunk are
+                # bf16-exact in packed mode, so splitting only dacc loses
+                # nothing (2 passes vs 3).
+                dims_dw = (((1,), (0,)), ((), ()))
+                if packed:
+                    dw = dot_split2_exact_b(dacc, chunk, dims_dw)
+                else:
+                    dw = dot_split3(dacc, chunk, dims_dw)      # (PX, CS)
+                d_se = dw * w
+                d_ell = tri_dot_split(d_se, tri_suf)
+                d_ell = d_ell + dlog_t_end
+                dalpha = dw * t_in - d_ell / (1.0 - alpha)
+                dalpha = jnp.where(unclamped, dalpha, 0.0)
+                dq = -0.5 * dalpha * alpha
+
+                if ablate == "nogeom":
+                    dgeom = jnp.zeros((NCH, cs), jnp.float32)
+                else:
+                    # Moment matrix: rows sum_px dq * [x^2,y^2,xy,x,y,1,_,_].
+                    mom = mom_dot_exact_basis(basis, dq)   # (8, CS)
+                    bxx = mom[0:1]; byy = mom[1:2]; bxy = mom[2:3]
+                    bx = mom[3:4]; by = mom[4:5]; b1 = mom[5:6]
+                    da = bxx - 2.0 * mx * bx + mx * mx * b1
+                    dc = byy - 2.0 * my * by + my * my * b1
+                    db = 2.0 * (bxy - mx * by - my * bx + mx * my * b1)
+                    dmx = -2.0 * a * (bx - mx * b1) - 2.0 * b * (by - my * b1)
+                    dmy = -2.0 * c * (by - my * b1) - 2.0 * b * (bx - mx * b1)
+                    dop = -2.0 * b1 / jnp.maximum(op, 1e-20)
+                    dgeom = jnp.concatenate(
+                        [dmx, dmy, da, db, dc, dop,
+                         jnp.zeros((NCH - 6, cs), jnp.float32)],
+                        axis=0,
+                    )
+
+                # Direct (linear) gradients: d payload_c = sum_px dacc_c * w.
+                if ablate == "nodirect":
+                    ddirect = jnp.zeros((NCH, cs), jnp.float32)
+                else:
+                    ddirect = dot_split3(
+                        dacc, w, (((0,), (0,)), ((), ()))
+                    )                                # (NCH, CS)
+                # Geometry channels come only through alpha; linear channels
+                # only through the accumulator (their ddirect rows).
+                row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+                dchunk = jnp.where(row < 6, dgeom, ddirect)
+                dchunk = jnp.where(active, dchunk, 0.0)
+            if packed:
+                if ablate == "nopack":
+                    dchunk = dchunk[:NCH_PACKED]
+                else:
+                    dchunk = pack_grad_chunk(dchunk)  # (NCH_PACKED, CS)
+
+            new_log_t = jnp.where(active, log_t_start, log_t_end)
+            new_dlog_t = jnp.where(
+                active,
+                dlog_t_end + jnp.sum(d_se, axis=1, keepdims=True),
+                dlog_t_end,
+            )
+
+        if ablate == "nowrite":
+            # No per-chunk stores: fold dchunk into a checksum carried to a
+            # single end-of-tile write, so the gradient math survives DCE.
+            new_csum = csum + jnp.sum(dchunk, axis=1, keepdims=True)
+            return new_log_t, new_dlog_t, new_csum
 
         # Write path: WBUF-deep ring so the HBM store overlaps several
         # chunks of compute. Before reusing a slot, consume the completion
@@ -293,18 +346,30 @@ def _bwd_kernel(
             out_buf[slot] = dchunk
 
         out_dma(slot, ci).start()
-
-        new_log_t = jnp.where(active, log_t_start, log_t_end)
-        new_dlog_t = jnp.where(
-            active,
-            dlog_t_end + jnp.sum(d_se, axis=1, keepdims=True),
-            dlog_t_end,
-        )
-        return new_log_t, new_dlog_t
+        return new_log_t, new_dlog_t, csum
 
     log_t_final = fwd_ref[0, OUT_LOGT : OUT_LOGT + 1, :].T     # (PX, 1)
     dlog_t_init = cot[:, 3:4]
-    jax.lax.fori_loop(0, n_live, body, (log_t_final, dlog_t_init))
+    csum0 = jnp.zeros((NCH_PACKED if packed else NCH, 1), jnp.float32)
+    _, _, csum = jax.lax.fori_loop(
+        0, n_live, body, (log_t_final, dlog_t_init, csum0))
+
+    if ablate == "nowrite":
+        # One write per tile: the checksum lands in the tile's first chunk
+        # window (timing variant — output values are NOT gradients).
+        @pl.when(n_chunks > 0)
+        def _():
+            pltpu.make_async_copy(
+                dpayload_ref.at[:, pl.ds(pl.multiple_of(base, cs), cs)],
+                rmw_buf, rmw_sem,
+            ).wait()
+            out_buf[0] = csum + jnp.zeros_like(out_buf[0])
+            out_dma(0, 0).start()
+
+        @pl.when(n_chunks > 0)
+        def _():
+            out_dma(0, 0).wait()
+        return
 
     # Drain the in-flight writes of the final chunks (ci = 0..WBUF-1, each
     # on its own slot) before this program ends: the next tile's boundary
@@ -328,10 +393,13 @@ def rasterize_backward(
     packed: bool = False,
     tile_row0=None,
     tile_rows=None,
+    ablate: str = "",
 ) -> jax.Array:
     """Returns dpayload_t, same layout (and packing) as payload_t; entries
     never touched by any tile are garbage and must be masked by the caller
-    (entry index < num_pairs)."""
+    (entry index < num_pairs). `ablate` selects reduced timing variants for
+    the decomposition bench (see _bwd_kernel) — production callers leave it
+    empty."""
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
     if tile_rows is None:
         tile_rows = tiles_y
@@ -352,6 +420,7 @@ def rasterize_backward(
         alpha_max=cfg.alpha_max,
         sigma_sq=cfg.sigma_radius * cfg.sigma_radius,
         packed=packed,
+        ablate=ablate,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -52,6 +52,13 @@ def _image_cotangents(cots, out_tiles, background, ts):
 
     px = ts * ts
     num_tiles = dimg_tiles.shape[0]
+    # COUPLING INVARIANT: cot rows 4 (dWsum) and 5 (dDepth) must stay
+    # structurally zero — the rasterizer exposes only image + transmittance
+    # as differentiable outputs, and the packed reduce path downstream
+    # (binning._gather_grad_rows) discards payload-gradient channels 9..15
+    # on that assumption. If wsum/depth ever become differentiable outputs,
+    # their cotangents must be threaded here AND _gather_grad_rows must stop
+    # zero-padding those channels.
     cot_tiles = jnp.concatenate(
         [
             jnp.transpose(dimg_tiles, (0, 2, 1)),  # rows dR, dG, dB

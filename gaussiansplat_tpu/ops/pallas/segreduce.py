@@ -55,7 +55,17 @@ def _segreduce_kernel(
     packed: bool,
     seg_c: int,
     seg_g: int,
+    ablate: str = "",
 ):
+    # `ablate` compiles reduced variants for the grad-reduce decomposition
+    # (benchmarks/micro_segreduce.py --ablate; VERDICT r4 item 2). Variants:
+    #   constoh — one-hot replaced by a loop-invariant constant (prices the
+    #             per-chunk membership build; WRONG VALUES, timing only)
+    #   split1  — hi-only bf16 pass (prices the 3-way split; lossy values)
+    #   stacked — the 3 split operands stacked to (3*NCH, C) so ONE matmul
+    #             reuses one (C, G) weight load; EXACT same math/values as
+    #             the default (candidate production form, not just a probe)
+    assert ablate in ("", "constoh", "split1", "stacked")
     b = pl.program_id(0)
     c = seg_c
 
@@ -94,9 +104,14 @@ def _segreduce_kernel(
         # rank r iff off[r] <= p < off[r+1]. Pairs outside this block's rank
         # range fail every interval test, so shared boundary chunks are
         # counted exactly once across adjacent programs.
-        pg = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) + (base + ci * c)
-        onehot = ((pg >= lo) & (pg < hi)).astype(jnp.float32)   # (C, G)
-
+        if ablate == "constoh":
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (c, seg_g), 0)
+                      == jax.lax.broadcasted_iota(
+                          jnp.int32, (c, seg_g), 1)).astype(jnp.float32)
+        else:
+            pg = (jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+                  + (base + ci * c))
+            onehot = ((pg >= lo) & (pg < hi)).astype(jnp.float32)  # (C, G)
 
         # The one-hot operand is exact in bf16, so splitting only the chunk
         # suffices; a THREE-way split (hi/mid/lo) reconstructs the full ~24
@@ -116,6 +131,20 @@ def _segreduce_kernel(
                 preferred_element_type=jnp.float32,
             )
 
+        if ablate == "split1":
+            return acc + d(c_hi)
+        if ablate == "stacked":
+            # One (3*NCH, C) @ (C, G) pass: the MXU loads the (C, G) one-hot
+            # weights ONCE for all three splits instead of three times. The
+            # row-block sums below reproduce the default's exact grouping
+            # hi + (mid + lo), so values are bit-identical.
+            s = jax.lax.dot_general(
+                jnp.concatenate([c_hi, c_mid, c_lo], axis=0), oh16,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            nch = chunk.shape[0]
+            return acc + (s[:nch] + (s[nch:2 * nch] + s[2 * nch:]))
         return acc + d(c_hi) + (d(c_mid) + d(c_lo))
 
     acc = jax.lax.fori_loop(
@@ -125,23 +154,29 @@ def _segreduce_kernel(
 
 
 def segment_reduce_pairs(
-    dpre_t: jax.Array,        # (NCH or NCH_PACKED, Ppad) f32, pre-sort order
+    dpre_t: jax.Array,        # (NCH or NCH_PACKED, P) f32, pre-sort order
     seg_offsets: jax.Array,   # (N + 1,) i32 segment starts (last = num_pairs)
     n: int,
     interpret: bool = False,
     packed: bool = False,
     seg_c: int = SEG_C,
     seg_g: int = SEG_G,
+    ablate: str = "",
 ) -> jax.Array:
     """Sum 16-channel pair gradients per depth rank (unpacking bf16-packed
     color/depth lanes inline when `packed`). Returns (n, NCH).
 
-    dpre_t must be padded with at least `seg_c` zero columns past the last
-    valid pair (aligned chunk windows poke past the end). seg_c/seg_g are
-    block-size tuning knobs (benchmarks/micro_segreduce.py); defaults are
-    the measured-best production values."""
+    Columns past the last valid pair (>= num_pairs) must be zero; the
+    seg_c-dependent tail padding (aligned chunk windows poke up to seg_c - 1
+    columns past the end) is applied HERE, so tuning seg_c never needs a
+    matching change at call sites. seg_c/seg_g are block-size tuning knobs
+    (benchmarks/micro_segreduce.py); defaults are the measured-best
+    production values."""
     nch_in = NCH_PACKED if packed else NCH
     assert dpre_t.shape[0] == nch_in
+    dpre_t = jnp.concatenate(
+        [dpre_t, jnp.zeros((nch_in, seg_c), dpre_t.dtype)], axis=1
+    )
     seg_win = seg_g + 128
     nb = -(-n // seg_g)
     ranks = jnp.minimum(
@@ -176,7 +211,7 @@ def segment_reduce_pairs(
     def squeeze_kernel(off_ref, dpre_ref, win_ref, out_ref, chunk_buf, sems):
         _segreduce_kernel(off_ref, dpre_ref, win_ref.at[0], out_ref.at[0],
                           chunk_buf, sems, packed=packed,
-                          seg_c=seg_c, seg_g=seg_g)
+                          seg_c=seg_c, seg_g=seg_g, ablate=ablate)
 
     out = pl.pallas_call(
         squeeze_kernel,

@@ -52,6 +52,18 @@ from ..ops.raster_dispatch import rasterize_payload
 GAUSS_AXIS = "gauss"
 
 
+def _warn_on_overflow(pack_overflow):
+    import sys
+
+    n = int(pack_overflow)
+    if n > 0:
+        sys.stderr.write(
+            f"[gauss_shard] WARNING: exchange dropped {n} payload rows "
+            f"(send_cap too small for this scene's strip concentration — "
+            f"raise send_fraction/send_cap)\n"
+        )
+
+
 def make_gauss_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
@@ -219,10 +231,24 @@ def make_gauss_sharded_render(
     send_cap: Optional[int] = None,
     xla_max_chunks: int = 64,
     impl: Optional[str] = None,
+    send_fraction: float = 0.5,
+    check_overflow: bool = False,
 ):
     """Build jit-able `f(model, camera, background) -> (image, trans)` with
     the model sharded over the mesh's gauss axis (use `shard_model`).
-    The tile grid's rows must divide evenly across devices."""
+    The tile grid's rows must divide evenly across devices.
+
+    Exchange sizing: when `send_cap` is None it comes from the closed-form
+    HBM plan (`capacity.plan_gauss_sharded`) at `send_fraction` — the ASSUMED
+    upper bound on the share of one chip's visible gaussians that can land in
+    a single destination strip. The default 0.5 is generous for scenes
+    without pathological vertical concentration (benchmark scenes measure
+    <= 0.35), but a scene clustering >50% of a shard's splats into one strip
+    would silently drop the excess for plain-render callers: pass a larger
+    `send_fraction` (or explicit `send_cap`) for such scenes, request
+    `with_aux=True` and watch `aux["pack_overflow"]`, or set
+    `check_overflow=True` to make render-only calls print a loud
+    `jax.debug` warning whenever the exchange dropped payload."""
     from .render import resolve_shard_impl
 
     impl = resolve_shard_impl(impl if impl is not None else cfg.impl)
@@ -279,7 +305,8 @@ def make_gauss_sharded_render(
         from .capacity import plan_gauss_sharded
 
         return plan_gauss_sharded(
-            global_capacity, nd, width, height, sh_degree, cfg
+            global_capacity, nd, width, height, sh_degree, cfg,
+            send_fraction=send_fraction,
         ).send_cap
 
     def f(model, camera, background, mean2d_offset=None, with_aux: bool = False):
@@ -290,6 +317,8 @@ def make_gauss_sharded_render(
             model, camera, background, mean2d_offset
         )
         if not with_aux:
+            if check_overflow:
+                jax.debug.callback(_warn_on_overflow, scalars[2])
             return img[:height], trans[:height]
         aux = dict(radii=radii, overflow=scalars[0].astype(jnp.int32),
                    max_chunks_needed=scalars[1].astype(jnp.int32),
