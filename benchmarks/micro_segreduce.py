@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--n", type=int, default=3_000_000)
     ap.add_argument("--ppg", type=float, default=2.1)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--quick", action="store_true",
+                    help="only the production block shape + ablations "
+                         "(skip the full sweep and gather micros)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     results = {}
@@ -76,9 +79,13 @@ def main():
     # --- segreduce block-size sweep (G first: program-count hypothesis; a
     # config that yields wrong values on hardware is flagged, not fatal) ---
     ref = None
-    for seg_c, seg_g in [(512, 512), (512, 1024), (512, 2048),
-                         (1024, 512), (1024, 1024), (2048, 512),
-                         (512, 256), (512, 128), (256, 256)]:
+    # Block-shape search is settled (512/512 across r4+r5); at the 8M shape
+    # only the floors matter, so the sweep collapses there too.
+    sweep = [(512, 512)] if (args.quick or n >= 6_000_000) else [
+        (512, 512), (512, 1024), (512, 2048),
+        (1024, 512), (1024, 1024), (2048, 512),
+        (512, 256), (512, 128), (256, 256)]
+    for seg_c, seg_g in sweep:
         dpad = d8  # seg_c-dependent tail padding now lives inside the op
         try:
             f = jax.jit(lambda d, sc=seg_c, sg=seg_g: segment_reduce_pairs(

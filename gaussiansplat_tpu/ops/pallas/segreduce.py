@@ -62,9 +62,8 @@ def _segreduce_kernel(
     #   constoh — one-hot replaced by a loop-invariant constant (prices the
     #             per-chunk membership build; WRONG VALUES, timing only)
     #   split1  — hi-only bf16 pass (prices the 3-way split; lossy values)
-    #   stacked — the 3 split operands stacked to (3*NCH, C) so ONE matmul
-    #             reuses one (C, G) weight load; EXACT same math/values as
-    #             the default (candidate production form, not just a probe)
+    #   stacked — alias of the default since the stacked single-matmul form
+    #             was promoted to production (r5; kept so older sweeps run)
     assert ablate in ("", "constoh", "split1", "stacked")
     b = pl.program_id(0)
     c = seg_c
@@ -118,10 +117,16 @@ def _segreduce_kernel(
         # mantissa bits — gradient sums stay f32-exact per element — at half
         # HIGHEST's 6-pass cost. (A 2-way split leaves ~2^-16 per-element
         # quantization, which tests/test_gather_vjp.py's 1e-6 bound catches.)
+        # Production form (measured on chip, micro_segreduce r5): the three
+        # split operands STACK along the row axis into ONE matmul, so the
+        # MXU loads the (C, G) one-hot weights once instead of three times
+        # (50.8 -> 47.1 ms at 3M); and in packed mode only rows 0..7 carry
+        # inexact f32 (rows 8+ are exact-bf16 colors/depth/zeros from
+        # unpack_grad_chunk, whose mid/lo splits are structurally zero), so
+        # the mid/lo blocks shrink to 8 rows. Both changes are value-exact:
+        # the row-block sums below reproduce the hi + (mid + lo) grouping.
+        nch = chunk.shape[0]
         c_hi = chunk.astype(jnp.bfloat16)
-        r = chunk - c_hi.astype(jnp.float32)
-        c_mid = r.astype(jnp.bfloat16)
-        c_lo = (r - c_mid.astype(jnp.float32)).astype(jnp.bfloat16)
         oh16 = onehot.astype(jnp.bfloat16)
 
         def d(x):
@@ -133,19 +138,20 @@ def _segreduce_kernel(
 
         if ablate == "split1":
             return acc + d(c_hi)
-        if ablate == "stacked":
-            # One (3*NCH, C) @ (C, G) pass: the MXU loads the (C, G) one-hot
-            # weights ONCE for all three splits instead of three times. The
-            # row-block sums below reproduce the default's exact grouping
-            # hi + (mid + lo), so values are bit-identical.
-            s = jax.lax.dot_general(
-                jnp.concatenate([c_hi, c_mid, c_lo], axis=0), oh16,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            nch = chunk.shape[0]
-            return acc + (s[:nch] + (s[nch:2 * nch] + s[2 * nch:]))
-        return acc + d(c_hi) + (d(c_mid) + d(c_lo))
+        nsplit = 8 if packed else nch
+        rsub = chunk[:nsplit] - c_hi[:nsplit].astype(jnp.float32)
+        c_mid = rsub.astype(jnp.bfloat16)
+        c_lo = (rsub - c_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            jnp.concatenate([c_hi, c_mid, c_lo], axis=0), oh16,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tail = s[nch:nch + nsplit] + s[nch + nsplit:]
+        if nsplit < nch:
+            tail = jnp.concatenate(
+                [tail, jnp.zeros((nch - nsplit, seg_g), jnp.float32)], axis=0)
+        return acc + (s[:nch] + tail)
 
     acc = jax.lax.fori_loop(
         0, n_chunks, body, jnp.zeros((NCH, seg_g), jnp.float32)
