@@ -246,9 +246,17 @@ def _measure_stages(model, camera, cfg, target, bg, params, timeit, t_step):
                                      np.minimum(nc_t, 1))))
     dead_bwd = n_chunks - live_bwd
 
+    # Only M=PX-row passes count: an MXU pass streams its M output rows, so
+    # the small-M matmuls (moment basis^T @ dq -> 8 rows, ddirect -> 16 rows)
+    # are negligible next to PX=256-row passes and are NOT priced. Counts
+    # match the r4 stacked-split kernels (q_dot_exact_basis = 2 passes):
+    # fwd = q 2 + tri 2 + acc 2; bwd = q 2 + tri 2 + dw 2 + tri_suffix 2.
+    # Cross-checked against the measured ablation decomposition
+    # (benchmarks/bwd_ablate_3m_r5.json: recompute ~= 4 passes, grad math
+    # ~= 4 PX-passes + small-M extras).
     pass_row = 2.0 * px * 128 * cs   # eff-FLOPs of one M=PX bf16 MXU pass
-    fwd_passes = 3 + 2 + 2           # q, tri, acc
-    bwd_passes = 3 + 2 + 2 + 2      # q, tri, dw, tri_suffix (M=PX only)
+    fwd_passes = 2 + 2 + 2
+    bwd_passes = 2 + 2 + 2 + 2
     kfwd_flops = live_fwd * fwd_passes * pass_row
     kbwd_flops = live_bwd * bwd_passes * pass_row
     chunk_b = cs * 8 * 4

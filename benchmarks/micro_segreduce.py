@@ -110,7 +110,7 @@ def main():
     # constoh prices the per-chunk one-hot membership build (wrong values);
     # split1 prices the 3-way Dekker split (lossy); stacked is the exact
     # single-weight-load candidate (must match ref bitwise).
-    for ab in ("constoh", "split1", "stacked"):
+    for ab in ("constoh", "split1", "stacked", "nounpack", "dmaonly"):
         dpad = d8
         try:
             f = jax.jit(lambda d, a=ab: segment_reduce_pairs(

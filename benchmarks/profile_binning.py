@@ -199,12 +199,23 @@ def main():
     payload = jax.jit(make_payload)(proj)
     gfwd = jax.jit(lambda p, bb: bb.gather_payload(p, impl=impl))
     jax.block_until_ready(gfwd(payload, b))
-    rows.append(("gather_payload fwd", timeit(gfwd, payload, b), "N+P"))
+    rows.append(("gather_payload fwd (16-ch API)",
+                 timeit(gfwd, payload, b), "N+P"))
+    # PRODUCTION form: the packed rasterizer's 8-lane row-gather chain
+    # (pack + depth reorder + pair gather + transpose) — what bench.py's
+    # gather_pack stage times; the 16-ch row above is the public API only.
+    from gaussiansplat_tpu.ops.pallas.common import pack_payload_rows
+
+    gpack = jax.jit(lambda p, dor, sr: jax.lax.optimization_barrier(
+        pack_payload_rows(p))[dor][sr].T)
+    jax.block_until_ready(gpack(payload, b.depth_order, b.sorted_ranks))
+    rows.append(("gather packed 8-lane (prod)",
+                 timeit(gpack, payload, b.depth_order, b.sorted_ranks),
+                 "N+P"))
 
     # ---- backward plumbing, isolated on realistic shapes
     if impl == "pallas":
-        from gaussiansplat_tpu.ops.pallas.segreduce import (
-            SEG_C, segment_reduce_pairs)
+        from gaussiansplat_tpu.ops.pallas.segreduce import segment_reduce_pairs
 
         key8 = jax.random.PRNGKey(7)
         d8 = jax.random.normal(key8, (8, capacity), jnp.float32)
@@ -214,8 +225,7 @@ def main():
         rows.append(("unpermute 9op/1key sort",
                      timeit(unperm, sorted_pos, d8), "P"))
 
-        dpre_t = jnp.concatenate(
-            [d8, jnp.zeros((8, SEG_C), jnp.float32)], axis=1)
+        dpre_t = d8  # tail padding lives inside segment_reduce_pairs now
         seg_off = jnp.concatenate([off_c, num_pairs[None]])
         segr = jax.jit(lambda d: segment_reduce_pairs(
             d, seg_off, n, interpret=False, packed=True))

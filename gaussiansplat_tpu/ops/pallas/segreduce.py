@@ -64,7 +64,10 @@ def _segreduce_kernel(
     #   split1  — hi-only bf16 pass (prices the 3-way split; lossy values)
     #   stacked — alias of the default since the stacked single-matmul form
     #             was promoted to production (r5; kept so older sweeps run)
-    assert ablate in ("", "constoh", "split1", "stacked")
+    #   nounpack — skip the bf16 lane unpack (prices it; wrong values)
+    #   dmaonly  — stream-only floor: no unpack/one-hot/matmul (wrong values)
+    assert ablate in ("", "constoh", "split1", "stacked", "nounpack",
+                      "dmaonly")
     b = pl.program_id(0)
     c = seg_c
 
@@ -96,8 +99,15 @@ def _segreduce_kernel(
 
         chunk_dma(ci % NBUF, ci).wait()
         chunk = chunk_buf[ci % NBUF]                 # (NCH or NCH_PACKED, C)
-        if packed:
+        if ablate == "dmaonly":
+            pad_r = jnp.zeros((NCH - chunk.shape[0], c), jnp.float32)
+            padded = jnp.concatenate([chunk, pad_r], axis=0)
+            return acc + padded[:, :seg_g] * 1e-30
+        if packed and ablate != "nounpack":
             chunk = unpack_grad_chunk(chunk)         # (NCH, C)
+        elif packed:
+            pad_r = jnp.zeros((NCH - chunk.shape[0], c), jnp.float32)
+            chunk = jnp.concatenate([chunk, pad_r], axis=0)
 
         # Membership one-hot from the segment boundaries: pair p belongs to
         # rank r iff off[r] <= p < off[r+1]. Pairs outside this block's rank

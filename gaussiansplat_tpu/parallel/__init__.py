@@ -12,6 +12,12 @@ from .gauss_shard import (
     shard_model,
 )
 from .gauss_train import init_gauss_sharded_state, make_gauss_sharded_train_step
+from .gauss2d import (
+    make_gauss2d_render,
+    make_gauss2d_train_step,
+    make_mesh2d,
+    shard_model_2d,
+)
 from .mesh import DATA_AXIS, TILE_AXIS, make_mesh, mesh_from_config
 from .render import make_tile_sharded_render, render_strip
 from .train import make_sharded_train_step, pad_targets, stack_cameras
@@ -29,12 +35,16 @@ __all__ = [
     "make_gauss_mesh",
     "make_gauss_sharded_render",
     "make_gauss_sharded_train_step",
+    "make_gauss2d_render",
+    "make_gauss2d_train_step",
     "make_mesh",
+    "make_mesh2d",
     "make_sharded_train_step",
     "make_tile_sharded_render",
     "mesh_from_config",
     "pad_targets",
     "render_strip",
     "shard_model",
+    "shard_model_2d",
     "stack_cameras",
 ]
