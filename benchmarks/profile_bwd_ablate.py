@@ -126,6 +126,22 @@ def main():
         except Exception as e:
             print(f"  {v or 'full':>9}: FAILED {e!r:.160}", flush=True)
 
+    # Forward-kernel decomposition (same method): with the bench scene
+    # early-exiting after ~1 chunk/tile, the per-TILE fixed costs (output
+    # transpose + 32KB block store) rival the streamed compute — nowrite
+    # prices them.
+    fwd_results = {}
+    for v in ("dmaonly", "noacc", "nowrite", ""):
+        fk = jax.jit(lambda pt, tst, vv=v: rasterize_forward(
+            pt, tst, w, h, cfg, packed=True, ablate=vv))
+        try:
+            t = timeit(fk, payload_t, b.tile_starts)
+            name = v or "full"
+            fwd_results[name + "_ms"] = round(t * 1e3, 2)
+            print(f"  fwd {name:>9}: {t * 1e3:8.2f} ms", flush=True)
+        except Exception as e:
+            print(f"  fwd {v or 'full':>9}: FAILED {e!r:.160}", flush=True)
+
     full = results.get("full_ms")
     derived = {}
     if full is not None:
@@ -146,7 +162,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump(dict(config=args.config, n=n, width=w, height=h,
                            backend=jax.default_backend(),
-                           variants=results, derived=derived), f, indent=1)
+                           variants=results, derived=derived,
+                           fwd_variants=fwd_results), f, indent=1)
             f.write("\n")
 
 

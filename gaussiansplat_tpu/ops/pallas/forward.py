@@ -70,7 +70,16 @@ def _fwd_kernel(
     sigma_sq: float,
     log_eps: float,
     packed: bool,
+    ablate: str = "",
 ):
+    # Timing-only reduced variants for the decomposition bench (see
+    # backward.py; benchmarks/profile_bwd_ablate.py --fwd):
+    #   dmaonly — read ring only, no compute (stream floor)
+    #   noacc   — alpha + logT prefix only, no channel accumulation
+    #   nowrite — full compute, but the (PX, NCH) -> (NOUT, PX) output
+    #             transpose + block write replaced by a checksum row
+    #             (prices the per-tile output relayout)
+    assert ablate in ("", "dmaonly", "noacc", "nowrite")
     t = pl.program_id(0)
     cs = chunk_size
     px = tile_size * tile_size
@@ -123,6 +132,9 @@ def _fwd_kernel(
 
         chunk_dma(ci % NBUF, ci).wait()
         chunk = chunk_buf[ci % NBUF]   # (NCH or NCH_PACKED, CS)
+        if ablate == "dmaonly":
+            acc = acc + chunk[0, 0] * 1e-30
+            return ci + 1, acc, log_t, alive
         if packed:
             chunk = unpack_payload_chunk(chunk)
 
@@ -140,7 +152,9 @@ def _fwd_kernel(
         # bf16-exact, so only w needs the Dekker split (2 passes vs 3); the
         # inexact geometry columns of acc are never read.
         dims = (((1,), (1,)), ((), ()))
-        if packed:
+        if ablate == "noacc":
+            acc = acc + jnp.sum(w, axis=1, keepdims=True) * 1e-30
+        elif packed:
             acc = acc + dot_split2_exact_b(w, chunk, dims)
         else:
             acc = acc + dot_split3(w, chunk, dims)
@@ -163,6 +177,14 @@ def _fwd_kernel(
         @pl.when(ci + o < n_chunks)
         def _(o=o):
             chunk_dma((ci + o) % NBUF, ci + o).wait()
+
+    if ablate == "nowrite":
+        # Checksum write only (no (PX, NCH) -> (NOUT, PX) relayout): prices
+        # the per-tile output transpose + block store.
+        csum = (jnp.sum(acc, axis=0) + jnp.sum(log_t)
+                + ci.astype(jnp.float32))           # (NCH,)
+        out_ref[...] = jnp.zeros((NOUT, px), jnp.float32) + csum[:NOUT, None]
+        return
 
     # The stop-chunk counter rides a spare row of the output block (Mosaic
     # rejects tiny scalar output blocks); exact as f32 for any real count.
@@ -193,8 +215,9 @@ def rasterize_forward(
     packed: bool = False,
     tile_row0=None,            # dynamic first tile row (tile-sharded strips)
     tile_rows=None,            # static number of tile rows to render
+    ablate: str = "",
 ):
-    """Returns out_tiles (T, NOUT, PX); row OUT_STOP holds the per-tile\n    stop-chunk count (broadcast across the pixel row, exact in f32)."""
+    """Returns out_tiles (T, NOUT, PX); row OUT_STOP holds the per-tile\n    stop-chunk count (broadcast across the pixel row, exact in f32).\n    `ablate` selects timing-only reduced variants (see _fwd_kernel)."""
     import math
 
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile_size)
@@ -218,6 +241,7 @@ def rasterize_forward(
         sigma_sq=cfg.sigma_radius * cfg.sigma_radius,
         log_eps=math.log(cfg.trans_eps) if cfg.trans_eps > 0 else -1e30,
         packed=packed,
+        ablate=ablate,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
