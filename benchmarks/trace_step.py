@@ -42,22 +42,23 @@ CONFIGS = {  # mirrors bench.py
     "1080p8m": (1920, 1080, 8_000_000, 1.6),
 }
 
-# Crude-but-stable op-name -> pipeline-stage buckets (matched in order).
+# Crude-but-stable op-name -> op-class buckets. Only the LAST path
+# component counts: jax op paths like `transpose(jvp())/sort` use
+# "transpose" for the AUTODIFF transform, not a data transpose.
 BUCKETS = [
-    ("pallas_kernel", ("tpu_custom_call", "custom-call", "rasterize",
-                       "segreduce", "expand")),
+    ("pallas_kernel", ("pallas_call", "tpu_custom_call", "custom-call")),
     ("sort", ("sort",)),
     ("gather_scatter", ("gather", "scatter", "dynamic-slice",
                         "dynamic-update-slice")),
-    ("conv_loss", ("convolution", "reduce-window")),
-    ("fusion_other", ("fusion",)),
-    ("copy_transpose", ("copy", "transpose", "bitcast", "reshape")),
+    ("matmul", ("dot_general", "dot", "convolution")),
+    ("copy_transpose", ("copy", "reshape", "bitcast", "concatenate",
+                        "split", "slice", "transpose")),
     ("other", ()),
 ]
 
 
 def bucket_of(name: str) -> str:
-    low = name.lower()
+    low = name.lower().rsplit("/", 1)[-1]
     for b, keys in BUCKETS:
         if any(k in low for k in keys):
             return b
