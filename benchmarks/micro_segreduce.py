@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="only the production block shape + ablations "
                          "(skip the full sweep and gather micros)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="force the full block-shape sweep even at shapes "
+                         "where it was assumed settled (the 8M dmaonly "
+                         "ablation showed the reduce goes per-chunk-fixed-"
+                         "cost-bound there, which larger C amortizes)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     results = {}
@@ -81,7 +86,8 @@ def main():
     ref = None
     # Block-shape search is settled (512/512 across r4+r5); at the 8M shape
     # only the floors matter, so the sweep collapses there too.
-    sweep = [(512, 512)] if (args.quick or n >= 6_000_000) else [
+    sweep = [(512, 512)] if (not args.sweep and
+                             (args.quick or n >= 6_000_000)) else [
         (512, 512), (512, 1024), (512, 2048),
         (1024, 512), (1024, 1024), (2048, 512),
         (512, 256), (512, 128), (256, 256)]
