@@ -189,15 +189,16 @@ def main():
         # trains on one chip"), then +15% (the claim "the model is not
         # wildly conservative"), then midpoints if budget remains.
         lo_fit, hi_oom = None, None
-        points = [ceiling, int(ceiling * 1.15)]
         results = []
         for i in range(args.probes):
-            if i < len(points):
-                p = points[i]
+            if not results:
+                p = ceiling
             elif lo_fit and hi_oom:
                 p = (lo_fit + hi_oom) // 2
-            else:
-                break
+            elif lo_fit:          # everything fit so far: step up 15%
+                p = int(lo_fit * 1.15)
+            else:                 # everything OOMed so far: step down 10%
+                p = int(hi_oom * 0.9)
             fits, detail = probe_subprocess(w, h, p)
             results.append(dict(n=p, fits=fits, detail=detail))
             print(json.dumps(results[-1]), flush=True)
