@@ -47,9 +47,12 @@ CONFIGS = {
     "1080p1m": (1920, 1080, 1_000_000, 2.6),  # measured 2.44 pairs/gaussian
     "1080p3m": (1920, 1080, 3_000_000, 1.9),  # measured 1.79 (config-3 shape)
     "4k4m": (3840, 2160, 4_000_000, 2.6),     # measured 2.44 (r3 artifact)
-    # Single-chip memory ceiling: parallel/capacity.py puts the largest
-    # trainable scene at ~8.19M gaussians on a 16 GiB chip at 1080p
-    # (max_gaussians_per_chip); this config demonstrates it end to end.
+    # Single-chip memory ceiling: the round-5 OOM bisection measured the
+    # largest TRAINABLE scene (Adam state, default pair budget) at
+    # 7.37-7.78M gaussians at 1080p (benchmarks/hbm_bisect_r5.json;
+    # capacity.max_gaussians_per_chip now plans against the measured
+    # 14.4 GiB usable budget). This fwd+bwd-only config still fits at 8M
+    # because it carries no optimizer state and a lean measured pair cap.
     "1080p8m": (1920, 1080, 8_000_000, 1.6),  # measured 1.50
 }
 

@@ -26,6 +26,16 @@ from typing import Optional
 from ..config import RasterConfig
 from ..ops.sh import num_sh_coeffs
 
+# Nominal chip HBM vs the budget the planner may actually spend. The
+# round-5 OOM bisection (benchmarks/hbm_probe.py --bisect, artifact
+# benchmarks/hbm_bisect_r5.json) measured the real single-chip 1080p
+# training ceiling at N in [7.37M fit, 7.78M OOM) where the closed form
+# with 1.35 slack predicted 8.19M on nominal 16 GiB: i.e. the usable
+# budget is 14.4-15.2 GiB and the remainder is allocator/runtime reserve.
+# Default plans against the SAFE end of the measured bracket.
+HBM_NOMINAL_BYTES = 16 << 30
+HBM_EFFECTIVE_BYTES = int(14.4 * (1 << 30))
+
 # Per-gaussian f32 channels of the parameter pytree (models/gaussians.py):
 # means 3 + quats 4 + log_scales 3 + logit_opacities 1 (+ alive bool, 1 byte).
 _BASE_CH = 11
@@ -52,7 +62,7 @@ class CapacityPlan:
     image_bytes: int           # strip image/transmittance/cotangents
     total_bytes: int
 
-    def fits(self, hbm_bytes: int = 16 << 30, slack: float = 1.35) -> bool:
+    def fits(self, hbm_bytes: int = HBM_EFFECTIVE_BYTES, slack: float = 1.35) -> bool:
         """True if the step fits under `hbm_bytes` with `slack` headroom for
         XLA fusion temporaries (measured 1.2-1.3x on the 1080p configs)."""
         return self.total_bytes * slack <= hbm_bytes
@@ -266,7 +276,7 @@ def max_gaussians_per_chip(
     width: int,
     height: int,
     sh_degree: int = 3,
-    hbm_bytes: int = 16 << 30,
+    hbm_bytes: int = HBM_EFFECTIVE_BYTES,
     cfg: Optional[RasterConfig] = None,
     with_optimizer: bool = True,
     slack: float = 1.35,
@@ -292,7 +302,7 @@ def min_devices_for(
     width: int,
     height: int,
     sh_degree: int = 3,
-    hbm_bytes: int = 16 << 30,
+    hbm_bytes: int = HBM_EFFECTIVE_BYTES,
     cfg: Optional[RasterConfig] = None,
     max_devices: int = 4096,
 ) -> int:
